@@ -1,0 +1,48 @@
+"""Pipeline run configuration.
+
+The reference derives its cutoffs from the *wall-clock run date*
+(`&sysdate9`/today(), data_curation_base.sas:44-56) which makes runs
+irreproducible; here run_date is an explicit parameter (SURVEY §4.4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs of a curation run. Deterministic given these fields."""
+
+    # Reproducible "today" — drives lookback cutoffs and DASH-style
+    # trailing windows (reference data_curation_base.sas:44-56).
+    run_date: dt.date = dt.date(2026, 1, 1)
+
+    # Lookback window in years (reference lookback param, default 10;
+    # sasprograms/02_run_queries.sas:87-88). Rows older than the cutoff
+    # (and non-null) are excluded at scan time.
+    lookback_years: int = 10
+
+    # Number of url-hash buckets = unit of checkpoint/resume and of the
+    # per-partition conformance reports. At 10^12 docs this would be
+    # O(10^4-10^5); tests use small values.
+    n_buckets: int = 8
+
+    # Salt granularity for skewed long-tail domains: repartition key is
+    # (bucket, salt) with salt = xxhash64(url) % salt_factor.
+    salt_factor: int = 4
+
+    # Rule thresholds are data, not code (reference valuesets pattern);
+    # overrides merge onto operators.rules.DEFAULT_RULES.
+    rule_overrides: dict = field(default_factory=dict)
+
+    # Output root for tables, manifest, lineage.
+    output_root: str = "/tmp/pdcs_out"
+
+    @property
+    def lookback_cutoff(self) -> dt.date:
+        try:
+            return self.run_date.replace(year=self.run_date.year - self.lookback_years)
+        except ValueError:  # Feb 29
+            return self.run_date.replace(month=2, day=28, year=self.run_date.year - self.lookback_years)

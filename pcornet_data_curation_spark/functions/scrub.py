@@ -1,0 +1,125 @@
+"""Ordered regex PII / toxicity scrubbing.
+
+Reference analog: the code-normalization + per-record heuristic regex
+checks of potential_code_errors.sas:310-344, recast as text scrubbing.
+
+Byte-identity contract (BASELINE.json input_hint): the Spark path uses
+JVM-side ``regexp_replace`` (whole-stage codegen, no Python), the
+pandas oracle uses Python ``re`` with the *same pattern strings*. To
+make the two engines agree byte-for-byte the patterns are restricted to
+the dialect-identical subset:
+
+* explicit ASCII character classes only — never \\w/\\d/\\s/\\b whose
+  unicode semantics differ between java.util.regex and Python `re`;
+* fixed-width lookarounds (supported identically by both);
+* literal replacement strings (no $1 / \\1 group references, whose
+  syntax differs);
+* no anchors, no DOTALL-sensitive dots.
+
+Application order is fixed by ``order`` (deterministic output).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ScrubPattern:
+    rule_id: str
+    pattern: str  # dialect-identical regex (see module docstring)
+    replacement: str  # literal
+    order: int
+
+
+# Ordered scrub registry ("rules as data", like the reference's
+# valuesets: dc_reference.cpt, data_curation_base.sas:3093-3105).
+SCRUB_PATTERNS: tuple[ScrubPattern, ...] = (
+    ScrubPattern(
+        "pii_email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+        "<EMAIL>",
+        10,
+    ),
+    ScrubPattern(
+        "pii_ssn",
+        r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])",
+        "<SSN>",
+        20,
+    ),
+    ScrubPattern(
+        "pii_phone",
+        r"(?<![0-9])(\+1[ .-])?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}(?![0-9])",
+        "<PHONE>",
+        30,
+    ),
+    ScrubPattern(
+        "pii_ipv4",
+        r"(?<![0-9.])[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}(?![0-9])(?!\.[0-9])",
+        "<IP>",
+        40,
+    ),
+    ScrubPattern(
+        "pii_credit_card",
+        r"(?<![0-9])[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}(?![0-9])",
+        "<CARD>",
+        50,
+    ),
+    # Toxicity lexicon (synthetic placeholder list) — whole-word with
+    # fixed-width lookarounds instead of \b. Case-insensitivity is
+    # spelled out as explicit [Xx] classes: Java folds ASCII-only under
+    # (?i) while Python folds unicode (ſ→s, K→K U+212A), so inline (?i)
+    # would let the two engines scrub different bytes.
+    ScrubPattern(
+        "tox_lexicon",
+        r"(?<![A-Za-z])("
+        r"[Ff][Rr][Aa][Kk]|[Gg][Oo][Rr][Rr][Aa][Mm]|"
+        r"[Ss][Mm][Ee][Gg]|[Bb][Ee][Ll][Gg][Ii][Uu][Mm]"
+        r")(?![A-Za-z])",
+        "<TOX>",
+        60,
+    ),
+)
+
+
+def ordered_patterns() -> list[ScrubPattern]:
+    return sorted(SCRUB_PATTERNS, key=lambda p: p.order)
+
+
+def scrub_column(col):
+    """Spark Column: apply the full ordered scrub chain via JVM
+    regexp_replace (stays inside whole-stage codegen)."""
+    from pyspark.sql import functions as F
+
+    out = col
+    for p in ordered_patterns():
+        out = F.regexp_replace(out, p.pattern, p.replacement)
+    return out
+
+
+_COMPILED = [(p, re.compile(p.pattern)) for p in ordered_patterns()]
+
+
+def scrub_text_py(text: str | None) -> str | None:
+    """Python applier (pandas oracle) — same patterns, same order.
+
+    Replacement strings are literal (no backslashes/group refs), so
+    re.sub's replacement escaping cannot diverge from Java's.
+    """
+    if text is None:
+        return None
+    for p, rx in _COMPILED:
+        text = rx.sub(p.replacement, text)
+    return text
+
+
+def scrub_series_py(texts):
+    """Vectorized pandas applier used by the oracle."""
+    out = texts.copy()
+    mask = out.notna()
+    s = out[mask].astype(str)
+    for p, rx in _COMPILED:
+        s = s.str.replace(rx, p.replacement, regex=True)
+    out[mask] = s
+    return out

@@ -1,0 +1,365 @@
+"""Deterministic per-document text statistics and model-style scorers.
+
+This module is PURE pandas/numpy — no Spark imports. It is called in
+exactly two places:
+
+1. inside a vectorized ``pandas_udf``/``mapInPandas`` on executors
+   (pcornet_data_curation_spark.operators.score), and
+2. directly by the pandas reference oracle
+   (pcornet_data_curation_spark.oracle.pandas_ref).
+
+Because both paths run this identical code on identical inputs, the
+keep/drop labels and scores agree bit-for-bit — the engine analog of
+the reference's rule-flag DATA steps being the single source of truth
+(potential_code_errors.sas:320-344).
+
+Everything here is a pure function of its inputs plus module-level
+constant tables built deterministically at import time (no RNG, no
+wall clock).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Tokenization / character classes.
+# Explicit ASCII classes only: Java (Spark regexp_*) and Python `re`
+# disagree on \s/\w/\d unicode semantics, so we never use them.
+# ---------------------------------------------------------------------------
+
+WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+LINE_RE = re.compile(r"\n")
+ALPHA_RE = re.compile(r"[A-Za-z]")
+BULLET_PREFIXES = ("-", "*", "•", "‣", "◦")
+ELLIPSIS_SUFFIXES = ("...", "…")
+TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+# Gopher-style English stop words (count-based rule) — fixed, ordered.
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# C4-style blocklist phrases (lowercase substring match).
+C4_BAD_PHRASES = ("lorem ipsum",)
+
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokens (explicit ASCII whitespace class)."""
+    if not text:
+        return []
+    return [t for t in WS_RE.split(text) if t]
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: hash-free character-trigram cosine against fixed profiles.
+# fastText-style in spirit (char n-gram features -> linear scorer), built
+# from small embedded seed corpora so the artifact is deterministic and
+# self-contained (fasttext native lib is absent in this environment).
+# ---------------------------------------------------------------------------
+
+_LANG_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it runs away "
+        "this is a sentence about the weather and the people who live in the "
+        "city they have been working with their friends for many years and "
+        "would like to know what will happen when the time comes for them to "
+        "leave because there is nothing more important than being able to "
+        "understand each other through language and shared experience of the "
+        "world which we all inhabit together with our families and friends"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und dann "
+        "laeuft er weg dies ist ein satz ueber das wetter und die menschen "
+        "die in der stadt leben sie arbeiten seit vielen jahren mit ihren "
+        "freunden zusammen und moechten wissen was passieren wird wenn die "
+        "zeit gekommen ist zu gehen denn es gibt nichts wichtigeres als "
+        "einander durch sprache und gemeinsame erfahrung der welt zu "
+        "verstehen die wir alle zusammen mit unseren familien bewohnen"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et puis "
+        "il s enfuit ceci est une phrase sur le temps et les gens qui vivent "
+        "dans la ville ils travaillent avec leurs amis depuis de nombreuses "
+        "annees et voudraient savoir ce qui se passera quand le moment sera "
+        "venu de partir car il n y a rien de plus important que de pouvoir "
+        "se comprendre par la langue et l experience partagee du monde que "
+        "nous habitons tous ensemble avec nos familles et nos amis"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y luego se "
+        "escapa esta es una frase sobre el clima y la gente que vive en la "
+        "ciudad han estado trabajando con sus amigos durante muchos anos y "
+        "les gustaria saber que pasara cuando llegue el momento de irse "
+        "porque no hay nada mas importante que poder entendernos a traves "
+        "del lenguaje y la experiencia compartida del mundo que todos "
+        "habitamos juntos con nuestras familias y nuestros amigos"
+    ),
+    "it": (
+        "la veloce volpe marrone salta sopra il cane pigro e poi scappa via "
+        "questa e una frase sul tempo e sulle persone che vivono nella citta "
+        "lavorano con i loro amici da molti anni e vorrebbero sapere cosa "
+        "accadra quando arrivera il momento di partire perche non c e "
+        "niente di piu importante che potersi capire attraverso la lingua e "
+        "l esperienza condivisa del mondo che tutti abitiamo insieme alle "
+        "nostre famiglie e ai nostri amici"
+    ),
+    "pt": (
+        "a rapida raposa marrom pula sobre o cachorro preguicoso e depois "
+        "foge esta e uma frase sobre o tempo e as pessoas que vivem na "
+        "cidade elas trabalham com seus amigos ha muitos anos e gostariam "
+        "de saber o que acontecera quando chegar a hora de partir porque "
+        "nao ha nada mais importante do que poder nos entender atraves da "
+        "linguagem e da experiencia compartilhada do mundo que todos nos "
+        "habitamos juntos com nossas familias e nossos amigos"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en rent dan weg dit "
+        "is een zin over het weer en de mensen die in de stad wonen ze "
+        "werken al vele jaren samen met hun vrienden en willen graag weten "
+        "wat er zal gebeuren als de tijd gekomen is om te vertrekken want "
+        "er is niets belangrijker dan elkaar te kunnen begrijpen door taal "
+        "en gedeelde ervaring van de wereld die wij allemaal samen bewonen "
+        "met onze gezinnen en onze vrienden"
+    ),
+}
+
+_NONLETTER_RE = re.compile(r"[^a-z ]+")
+
+
+def _trigram_counts(text: str) -> dict[str, int]:
+    s = " " + _NONLETTER_RE.sub(" ", text.lower()) + " "
+    s = WS_RE.sub(" ", s)
+    out: dict[str, int] = {}
+    for i in range(len(s) - 2):
+        g = s[i : i + 3]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+def _build_profiles() -> tuple[list[str], dict[str, int], np.ndarray]:
+    """(languages, trigram->index, L2-normalized profile matrix)."""
+    langs = sorted(_LANG_SEEDS)
+    vocab: dict[str, int] = {}
+    raw: list[dict[str, int]] = []
+    for lang in langs:
+        c = _trigram_counts(_LANG_SEEDS[lang])
+        raw.append(c)
+        for g in sorted(c):
+            if g not in vocab:
+                vocab[g] = len(vocab)
+    mat = np.zeros((len(langs), len(vocab)), dtype=np.float64)
+    for i, c in enumerate(raw):
+        for g, n in c.items():
+            mat[i, vocab[g]] = float(n)
+        norm = math.sqrt(float((mat[i] ** 2).sum()))
+        if norm > 0:
+            mat[i] /= norm
+    return langs, vocab, mat
+
+
+LANGID_LANGS, _LANGID_VOCAB, _LANGID_MAT = _build_profiles()
+
+
+def langid_scores(text: str) -> tuple[str, float]:
+    """(predicted language, confidence in [0,1]).
+
+    Confidence = top cosine softmax-normalized over languages; 'und'
+    with confidence 0.0 when the doc has no known trigram.
+    """
+    counts = _trigram_counts(text) if text else {}
+    if not counts:
+        return "und", 0.0
+    vec = np.zeros(_LANGID_MAT.shape[1], dtype=np.float64)
+    known = 0
+    for g, n in counts.items():
+        j = _LANGID_VOCAB.get(g)
+        if j is not None:
+            vec[j] = float(n)
+            known += n
+    norm = math.sqrt(float((vec**2).sum()))
+    if norm == 0.0:
+        return "und", 0.0
+    sims = _LANGID_MAT @ (vec / norm)
+    i = int(np.argmax(sims))
+    exp = np.exp(sims * 8.0)
+    conf = float(exp[i] / exp.sum())
+    return LANGID_LANGS[i], conf
+
+
+# ---------------------------------------------------------------------------
+# Perplexity: character-bigram LM over [a-z ] with add-one smoothing,
+# trained at import time on the embedded English seed corpus
+# (KenLM-style n-gram scoring recast as a deterministic numpy table).
+# ---------------------------------------------------------------------------
+
+_PPL_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_PPL_INDEX = {c: i for i, c in enumerate(_PPL_ALPHABET)}
+
+
+def _build_bigram_logprobs() -> np.ndarray:
+    k = len(_PPL_ALPHABET)
+    counts = np.ones((k, k), dtype=np.float64)  # add-one smoothing
+    corpus = WS_RE.sub(" ", _NONLETTER_RE.sub(" ", (_LANG_SEEDS["en"] * 3).lower()))
+    for a, b in zip(corpus, corpus[1:]):
+        counts[_PPL_INDEX[a], _PPL_INDEX[b]] += 1.0
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+_PPL_LOGPROB = _build_bigram_logprobs()
+_PPL_OOV_LOGPROB = float(np.log(1.0 / (len(_PPL_ALPHABET) ** 2)))
+
+
+def perplexity(text: str) -> float:
+    """Char-bigram perplexity vs the English LM; high = non-English/junk.
+
+    Pairs containing out-of-alphabet characters (digits, punctuation,
+    accented letters) are skipped, not penalized — symbol junk is the
+    job of the symbol/alpha heuristics; ppl discriminates *language*.
+    A doc with fewer than 10 in-alphabet pairs gets the max (OOV)
+    perplexity — there is no language signal to score.
+    """
+    if not text:
+        return float(math.exp(-_PPL_OOV_LOGPROB))
+    s = WS_RE.sub(" ", text.lower())
+    idx = np.fromiter((_PPL_INDEX.get(c, -1) for c in s), dtype=np.int64, count=len(s))
+    if len(idx) < 2:
+        return float(math.exp(-_PPL_OOV_LOGPROB))
+    a, b = idx[:-1], idx[1:]
+    valid = (a >= 0) & (b >= 0)
+    if int(valid.sum()) < 10:
+        return float(math.exp(-_PPL_OOV_LOGPROB))
+    lp = _PPL_LOGPROB[a[valid], b[valid]]
+    return float(math.exp(-float(lp.mean())))
+
+
+# ---------------------------------------------------------------------------
+# Repetition (Gopher-style duplicate n-gram signals).
+# ---------------------------------------------------------------------------
+
+
+def dup_line_frac(text: str) -> float:
+    """Fraction of characters inside lines that occur more than once."""
+    if not text:
+        return 0.0
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not lines:
+        return 0.0
+    seen: dict[str, int] = {}
+    for ln in lines:
+        seen[ln] = seen.get(ln, 0) + 1
+    total = sum(len(ln) for ln in lines)
+    dup = sum(len(ln) * n for ln, n in seen.items() if n > 1)
+    return dup / total if total else 0.0
+
+
+def dup_ngram_char_frac(tokens: list[str], n: int) -> float:
+    """Fraction of characters covered by word n-grams that appear >1 time."""
+    if len(tokens) < n:
+        return 0.0
+    grams: dict[tuple[str, ...], int] = {}
+    for i in range(len(tokens) - n + 1):
+        g = tuple(tokens[i : i + n])
+        grams[g] = grams.get(g, 0) + 1
+    covered = np.zeros(len(tokens), dtype=bool)
+    for i in range(len(tokens) - n + 1):
+        if grams[tuple(tokens[i : i + n])] > 1:
+            covered[i : i + n] = True
+    total = sum(len(t) for t in tokens)
+    dup = sum(len(t) for t, c in zip(tokens, covered) if c)
+    return dup / total if total else 0.0
+
+
+def top_ngram_char_frac(tokens: list[str], n: int) -> float:
+    """Fraction of characters covered by the single most frequent n-gram."""
+    if len(tokens) < n:
+        return 0.0
+    grams: dict[tuple[str, ...], int] = {}
+    for i in range(len(tokens) - n + 1):
+        g = tuple(tokens[i : i + n])
+        grams[g] = grams.get(g, 0) + 1
+    top = max(sorted(grams), key=lambda g: (grams[g], g))
+    if grams[top] <= 1:
+        return 0.0
+    total = sum(len(t) for t in tokens)
+    return grams[top] * sum(len(t) for t in top) / total if total else 0.0
+
+
+# ---------------------------------------------------------------------------
+# The full per-document stat vector (one batch pass).
+# ---------------------------------------------------------------------------
+
+# (name, numpy dtype) — order is the struct field order everywhere.
+STAT_FIELDS: list[tuple[str, str]] = [
+    ("n_chars", "int64"),
+    ("n_tokens", "int64"),
+    ("n_lines", "int64"),
+    ("n_sentences", "int64"),
+    ("mean_word_len", "float64"),
+    ("alpha_word_frac", "float64"),
+    ("symbol_word_ratio", "float64"),
+    ("bullet_line_frac", "float64"),
+    ("ellipsis_line_frac", "float64"),
+    ("stopword_count", "int64"),
+    ("dup_line_frac", "float64"),
+    ("dup_5gram_char_frac", "float64"),
+    ("top_2gram_char_frac", "float64"),
+    ("has_bad_phrase", "int64"),
+    ("has_curly_brace", "int64"),
+    ("lang_pred", "object"),
+    ("lang_conf", "float64"),
+    ("ppl", "float64"),
+]
+
+
+def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
+    """Compute the full stat vector for a batch of documents.
+
+    Input: pandas Series of str (None/NaN allowed → treated as '').
+    Output: DataFrame with STAT_FIELDS columns, aligned to input index.
+    """
+    vals = texts.fillna("").astype(str)
+    out: dict[str, list] = {name: [] for name, _ in STAT_FIELDS}
+    for text in vals:
+        tokens = tokenize(text)
+        n_tokens = len(tokens)
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        stripped = [ln.strip() for ln in lines]
+        n_lines = len(lines)
+        tok_chars = sum(len(t) for t in tokens)
+        alpha_words = sum(1 for t in tokens if ALPHA_RE.search(t))
+        symbols = text.count("#") + text.count("...") + text.count("…")
+        bullets = sum(1 for ln in stripped if ln.startswith(BULLET_PREFIXES))
+        ellipses = sum(1 for ln in stripped if ln.endswith(ELLIPSIS_SUFFIXES))
+        low = text.lower()
+        stop_n = 0
+        low_tokens = [t.lower() for t in tokens]
+        for w in STOP_WORDS:
+            stop_n += sum(1 for t in low_tokens if t == w)
+        sentences = sum(text.count(p) for p in (".", "!", "?"))
+        lang, conf = langid_scores(text)
+        out["n_chars"].append(len(text))
+        out["n_tokens"].append(n_tokens)
+        out["n_lines"].append(n_lines)
+        out["n_sentences"].append(sentences)
+        out["mean_word_len"].append(tok_chars / n_tokens if n_tokens else 0.0)
+        out["alpha_word_frac"].append(alpha_words / n_tokens if n_tokens else 0.0)
+        out["symbol_word_ratio"].append(symbols / n_tokens if n_tokens else 0.0)
+        out["bullet_line_frac"].append(bullets / n_lines if n_lines else 0.0)
+        out["ellipsis_line_frac"].append(ellipses / n_lines if n_lines else 0.0)
+        out["stopword_count"].append(stop_n)
+        out["dup_line_frac"].append(dup_line_frac(text))
+        out["dup_5gram_char_frac"].append(dup_ngram_char_frac(tokens, 5))
+        out["top_2gram_char_frac"].append(top_ngram_char_frac(tokens, 2))
+        out["has_bad_phrase"].append(int(any(p in low for p in C4_BAD_PHRASES)))
+        out["has_curly_brace"].append(int("{" in text or "}" in text))
+        out["lang_pred"].append(lang)
+        out["lang_conf"].append(conf)
+        out["ppl"].append(perplexity(text))
+    frame = pd.DataFrame(out, index=vals.index)
+    for name, dtype in STAT_FIELDS:
+        if dtype != "object":
+            frame[name] = frame[name].astype(dtype)
+    return frame
