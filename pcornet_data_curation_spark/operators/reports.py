@@ -1,0 +1,323 @@
+"""Conformance / value-distribution report family.
+
+Re-expresses the reference's six parameterized summary macros
+(data_curation_base.sas) as parameterized DataFrame transforms:
+
+| here                | reference                | file:line |
+|---------------------|--------------------------|-----------|
+| tag_profile         | %tag                     | data_curation_base.sas:549-795 |
+| n_pct               | %n_pct (valueset superpop)| data_curation_base.sas:798-1311 |
+| n_pct_noref         | %n_pct_noref             | data_curation_base.sas:2236-2701 |
+| cont_stats          | %cont / %t_cont          | data_curation_base.sas:121-546 |
+| minmax_profile      | %minmax                  | data_curation_base.sas:2704-2782 |
+| ym_dense_fill       | dense YM fill            | data_curation_base.sas:1699-1785 |
+| crosstab            | %n_pct_multilev          | data_curation_base.sas:1315-2233 |
+
+Contractual semantics preserved from the reference:
+* reports ALWAYS emit the full category domain — valueset categories
+  zero-filled, plus explicit 'NULL or missing' and 'Values outside of
+  CDM specifications' rows (dummy-path invariant,
+  data_curation_base.sas:140-158, 837-846, 1201-1264);
+* distinct counts are EXACT (countDistinct, never approx — reference
+  outputs are compared verbatim, SURVEY §7);
+* percentiles are EXACT (SQL `percentile`, PROC MEANS parity) — use
+  cont_stats(approx=True) only on unchecked hot paths.
+
+Scale notes: every function aggregates first (one shuffle) and joins
+the tiny aggregate onto a generated domain frame afterwards, so the
+super-population join never touches the fact table. Grand totals come
+from a window over the *aggregated* frame (bounded by |domain|), not a
+second scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NULL_CATEGORY = "NULL or missing"
+OVERFLOW_CATEGORY = "Values outside of CDM specifications"
+
+
+# ---------------------------------------------------------------------------
+# %tag — per-column conformance profile
+# ---------------------------------------------------------------------------
+
+
+def tag_profile(
+    df: DataFrame,
+    cols: list[str],
+    dataset: str = "",
+    valid_exprs: dict[str, object] | None = None,
+) -> DataFrame:
+    """One row per column: all_n, distinct_n, null_n, valid_n,
+    valid_distinct_n (reference %tag, data_curation_base.sas:549-795).
+
+    Single aggregation job for ALL columns (one scan, map-side partial
+    aggregation); the wide agg row is unpivoted with `stack`.
+    valid_exprs maps column -> boolean Column defining validity; absent
+    columns get valid_n = all_n semantics of the reference's _n tag.
+    """
+    valid_exprs = valid_exprs or {}
+    aggs = []
+    for c in cols:
+        v = valid_exprs.get(c)
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__all_n"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct_n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null_n"),
+            (
+                F.sum(F.when(v, 1).otherwise(0)).alias(f"{c}__valid_n")
+                if v is not None
+                else F.count(F.col(c)).alias(f"{c}__valid_n")
+            ),
+            (
+                F.countDistinct(F.when(v, F.col(c))).alias(f"{c}__valid_distinct_n")
+                if v is not None
+                else F.countDistinct(F.col(c)).alias(f"{c}__valid_distinct_n")
+            ),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__all_n`, `{c}__distinct_n`, `{c}__null_n`, `{c}__valid_n`, `{c}__valid_distinct_n`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (tag, all_n, distinct_n, null_n, valid_n, valid_distinct_n)"
+    ).select(F.lit(dataset).alias("dataset"), "*")
+
+
+# ---------------------------------------------------------------------------
+# %n_pct — categorical frequency with reference valueset super-population
+# ---------------------------------------------------------------------------
+
+
+def n_pct(
+    df: DataFrame,
+    col: str,
+    valueset: list[str],
+    distinct_col: str | None = None,
+    include_overflow: bool = True,
+) -> DataFrame:
+    """Counts + pct per category, super-populated over `valueset` with
+    forced NULL + overflow rows (reference %n_pct completetypes /
+    preloadfmt semantics, data_curation_base.sas:837-846, 905-912).
+
+    Output: (category, ord, record_n, record_pct[, distinct_n]); ord is
+    the valueset order with NULL and overflow forced last
+    (sentinel-sort parity, data_curation_base.sas:1298-1300).
+    """
+    spark = df.sparkSession
+    cat = (
+        F.when(F.col(col).isNull(), F.lit(NULL_CATEGORY))
+        .when(F.col(col).cast("string").isin(valueset), F.col(col).cast("string"))
+        .otherwise(F.lit(OVERFLOW_CATEGORY))
+    )
+    sel = [cat.alias("category")] + ([F.col(distinct_col).alias("_d")] if distinct_col else [])
+    aggs = [F.count(F.lit(1)).alias("record_n")]
+    if distinct_col:
+        aggs.append(F.countDistinct("_d").alias("distinct_n"))
+    counts = df.select(*sel).groupBy("category").agg(*aggs)
+
+    domain_rows = [(v, i) for i, v in enumerate(valueset)]
+    domain_rows.append((NULL_CATEGORY, len(valueset)))
+    if include_overflow:
+        domain_rows.append((OVERFLOW_CATEGORY, len(valueset) + 1))
+    domain = spark.createDataFrame(domain_rows, "category string, ord int")
+
+    fill = {"record_n": 0}
+    if distinct_col:
+        fill["distinct_n"] = 0
+    out = domain.join(counts, "category", "left").na.fill(fill)
+    total = F.sum("record_n").over(Window.partitionBy())
+    out = out.withColumn(
+        "record_pct",
+        F.when(total > 0, F.round(F.col("record_n") * 100.0 / total, 2)).otherwise(F.lit(0.0)),
+    )
+    cols_out = ["category", "ord", "record_n", "record_pct"] + (
+        ["distinct_n"] if distinct_col else []
+    )
+    return out.select(*cols_out).orderBy("ord")
+
+
+def n_pct_noref(
+    df: DataFrame,
+    col: str,
+    distinct_col: str | None = None,
+    force_null_row: bool = True,
+) -> DataFrame:
+    """Frequency of observed values + forced NULL row (reference
+    %n_pct_noref, data_curation_base.sas:2236-2701).
+
+    Output: (category, record_n, record_pct[, distinct_n]), NULL last.
+    """
+    cat = F.coalesce(F.col(col).cast("string"), F.lit(NULL_CATEGORY))
+    sel = [cat.alias("category")] + ([F.col(distinct_col).alias("_d")] if distinct_col else [])
+    aggs = [F.count(F.lit(1)).alias("record_n")]
+    if distinct_col:
+        aggs.append(F.countDistinct("_d").alias("distinct_n"))
+    counts = df.select(*sel).groupBy("category").agg(*aggs)
+    if force_null_row:
+        spark = df.sparkSession
+        nullrow = spark.createDataFrame([(NULL_CATEGORY,)], "category string")
+        counts = (
+            counts.join(nullrow, "category", "full")
+            .na.fill({"record_n": 0, **({"distinct_n": 0} if distinct_col else {})})
+        )
+    total = F.sum("record_n").over(Window.partitionBy())
+    out = counts.withColumn(
+        "record_pct",
+        F.when(total > 0, F.round(F.col("record_n") * 100.0 / total, 2)).otherwise(F.lit(0.0)),
+    )
+    # NULL category forced last, then alpha (reference sentinel sort).
+    return out.orderBy(
+        F.when(F.col("category") == NULL_CATEGORY, 1).otherwise(0), F.col("category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# %cont / %t_cont — continuous stats (exact percentiles)
+# ---------------------------------------------------------------------------
+
+DEFAULT_PCTS = (0.05, 0.25, 0.50, 0.75, 0.95)
+
+
+def cont_stats(
+    df: DataFrame,
+    col: str,
+    group: list[str] | None = None,
+    pcts: tuple[float, ...] = DEFAULT_PCTS,
+    approx: bool = False,
+    force_null_group: bool = True,
+) -> DataFrame:
+    """n/nmiss/min/mean/max + exact percentiles, optionally per group
+    (reference %cont / %t_cont, data_curation_base.sas:121-546).
+
+    Exact SQL `percentile` by default (PROC MEANS parity); approx=True
+    switches to percentile_approx for unchecked hot paths. With a
+    group, a NULL-group row is still emitted (groupBy keeps null keys —
+    the reference forces this row explicitly, :350-398).
+    """
+    pct_fn = "approx_percentile" if approx else "percentile"
+    arr = ", ".join(repr(p) for p in pcts)
+    aggs = [
+        F.count(F.col(col)).alias("n"),
+        F.sum(F.col(col).isNull().cast("long")).alias("nmiss"),
+        F.min(col).alias("min"),
+        F.avg(col).alias("mean"),
+        F.max(col).alias("max"),
+        F.expr(f"{pct_fn}(`{col}`, array({arr}))").alias("_p"),
+    ]
+    g = df.groupBy(*[F.col(c) for c in group]) if group else df.groupBy()
+    out = g.agg(*aggs)
+    for i, p in enumerate(pcts):
+        out = out.withColumn(f"p{int(round(p * 100)):02d}", F.col("_p")[i])
+    return out.drop("_p")
+
+
+# ---------------------------------------------------------------------------
+# %minmax — date/timestamp profile
+# ---------------------------------------------------------------------------
+
+
+def minmax_profile(
+    df: DataFrame,
+    date_col: str,
+    future_after: str | None = None,
+    implausible_before: str = "1900-01-01",
+) -> DataFrame:
+    """n, nmiss, min/max rendered yyyy_MM, future_n, implausible_n
+    (reference %minmax, data_curation_base.sas:2704-2782; future/
+    implausible flags :225-231)."""
+    c = F.col(date_col)
+    aggs = [
+        F.count(c).alias("n"),
+        F.sum(c.isNull().cast("long")).alias("nmiss"),
+        F.date_format(F.min(c), "yyyy_MM").alias("min_ym"),
+        F.date_format(F.max(c), "yyyy_MM").alias("max_ym"),
+        F.sum((c < F.lit(implausible_before).cast("timestamp")).cast("long")).alias(
+            "implausible_n"
+        ),
+    ]
+    if future_after is not None:
+        aggs.append(
+            F.sum((c > F.lit(future_after).cast("timestamp")).cast("long")).alias("future_n")
+        )
+    return df.agg(*aggs).select(F.lit(date_col).alias("variable"), "*")
+
+
+# ---------------------------------------------------------------------------
+# Dense year-month fill
+# ---------------------------------------------------------------------------
+
+
+def ym_dense_fill(counts: DataFrame, ym_col: str = "ym", fill_cols: tuple[str, ...] = ("record_n",)) -> DataFrame:
+    """Left-join monthly counts onto the dense month sequence between
+    min and max observed ym ('yyyy_MM' strings), zero-filling gaps
+    (reference dense YM fill, data_curation_base.sas:1699-1785).
+
+    `counts` is already aggregated (small); the sequence explode is
+    driver-scale, never fact-table-scale.
+    """
+    rng = counts.where(F.col(ym_col).isNotNull()).agg(
+        F.min(ym_col).alias("mn"), F.max(ym_col).alias("mx")
+    )
+    months = rng.where(F.col("mn").isNotNull()).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.concat(F.col("mn"), F.lit("_01")), "yyyy_MM_dd"),
+                F.to_date(F.concat(F.col("mx"), F.lit("_01")), "yyyy_MM_dd"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("_m")
+    ).select(F.date_format("_m", "yyyy_MM").alias(ym_col))
+    return (
+        months.join(counts, ym_col, "left")
+        .na.fill({c: 0 for c in fill_cols})
+        .orderBy(ym_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# %n_pct_multilev — multi-level crosstab with optional full domain
+# ---------------------------------------------------------------------------
+
+
+def crosstab(
+    df: DataFrame,
+    levels: list[str],
+    domains: dict[str, list[str]] | None = None,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """2/3-level categorical crosstab (reference %n_pct_multilev,
+    data_curation_base.sas:1315-2233). When `domains` provides the
+    category lists, the output is super-populated over their full
+    cross-product (completetypes); otherwise observed-only.
+
+    The cross-product frame is built from tiny in-memory domains and
+    joined onto the aggregate — never a fact-table cross join.
+    """
+    spark = df.sparkSession
+    cats = [
+        F.coalesce(F.col(c).cast("string"), F.lit(NULL_CATEGORY)).alias(c) for c in levels
+    ]
+    sel = cats + ([F.col(distinct_col).alias("_d")] if distinct_col else [])
+    aggs = [F.count(F.lit(1)).alias("record_n")]
+    if distinct_col:
+        aggs.append(F.countDistinct("_d").alias("distinct_n"))
+    counts = df.select(*sel).groupBy(*levels).agg(*aggs)
+    if domains:
+        domain_df = None
+        for c in levels:
+            vals = list(domains.get(c, [])) + [NULL_CATEGORY]
+            d = spark.createDataFrame([(v,) for v in vals], f"`{c}` string")
+            domain_df = d if domain_df is None else domain_df.crossJoin(d)
+        fill = {"record_n": 0}
+        if distinct_col:
+            fill["distinct_n"] = 0
+        counts = domain_df.join(counts, levels, "left").na.fill(fill)
+    total = F.sum("record_n").over(Window.partitionBy())
+    return counts.withColumn(
+        "record_pct",
+        F.when(total > 0, F.round(F.col("record_n") * 100.0 / total, 2)).otherwise(F.lit(0.0)),
+    ).orderBy(*levels)

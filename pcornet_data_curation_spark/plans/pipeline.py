@@ -1,0 +1,276 @@
+"""End-to-end curation pipeline (SURVEY §7 stages 0-8).
+
+One heavy distributed pass per run:
+
+  pages ──filter(lookback)──▶ salted repartition on url-hash
+        ──score (one pandas-UDF pass)──▶ rule flags + verdict + scrub
+        ──▶ curated parquet, partitioned by url-hash bucket
+             (dynamic partition overwrite ⇒ idempotent per bucket)
+
+then cheap column-pruned scans over the curated table produce the
+per-partition conformance reports, the normalized metrics table and
+the threshold exceptions — mirroring the reference's split between
+the query run (data_curation_tables.sas) and the downstream
+normalization + EDC report (normalization.sas / edc_report.sas).
+
+Scale design (100 TB / 10^12 docs):
+* the fact table is touched exactly once per run; everything else
+  reads the much smaller curated columns (column pruning + bucket
+  partition pruning do the work);
+* repartition key = (bucket, salt): url-hash buckets give resume
+  granularity, the salt splits hot long-tail domains inside a bucket;
+  AQE skew-join/coalesce is on in the session;
+* reports aggregate before joining domain frames — shuffles carry
+  only (category, counts) rows;
+* resume filters pending buckets at the SCAN (bucket predicate), so
+  a resumed run reads only unfinished data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.config import PipelineConfig
+from pcornet_data_curation_spark.operators import rules as R
+from pcornet_data_curation_spark.operators.checks import DEFAULT_CHECKS, run_checks
+from pcornet_data_curation_spark.operators.normalize import assemble_metrics, melt_report
+from pcornet_data_curation_spark.operators.reports import (
+    cont_stats,
+    minmax_profile,
+    n_pct,
+    n_pct_noref,
+    tag_profile,
+    ym_dense_fill,
+)
+from pcornet_data_curation_spark.operators.score import STAT_COLS, with_doc_stats
+from pcornet_data_curation_spark.operators.verdict import with_verdict
+from pcornet_data_curation_spark.plans.checkpoint import Manifest
+from pcornet_data_curation_spark.plans.lineage import LineageTracker
+
+# curated-table columns kept for reporting (narrow on purpose: reports
+# never need the raw html/text again)
+CURATED_STATS = [
+    "n_chars",
+    "n_tokens",
+    "n_sentences",
+    "lang_pred",
+    "lang_conf",
+    "ppl",
+]
+
+LANG_VALUESET = ["en", "de", "fr", "es", "it", "pt", "nl"]
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+
+
+def salt_col(salt_factor: int):
+    # independent second hash stream (seeded by an extra literal)
+    return F.pmod(F.xxhash64(F.col("url"), F.lit(0x5A17)), F.lit(salt_factor)).cast("int")
+
+
+def lookback_filter(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Keep rows with warc_ts >= run_date - lookback (or NULL), the
+    reference's lookback scan filter (data_curation_base.sas:44-47,
+    applied per table e.g. data_curation_tables.sas:1334-1335).
+    Pushed to the parquet scan by Catalyst."""
+    cut = cfg.lookback_cutoff.isoformat()
+    return pages.where(
+        F.col("warc_ts").isNull() | (F.col("warc_ts") >= F.lit(cut).cast("timestamp"))
+    )
+
+
+def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The full row-level transform chain (stages 0-5), lazily planned."""
+    df = lookback_filter(pages, cfg)
+    df = df.withColumn("bucket", bucket_col(cfg.n_buckets)).withColumn(
+        "salt", salt_col(cfg.salt_factor)
+    )
+    df = df.repartition(cfg.n_buckets * cfg.salt_factor, "bucket", "salt")
+    df = with_doc_stats(df)
+    df = with_verdict(df, cfg.rule_overrides)
+    flag_cols = [R.flag_name(r) for r in R.active_rules(cfg.rule_overrides)]
+    return df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "bucket",
+        *CURATED_STATS,
+        *flag_cols,
+        "keep",
+        "scrubbed_text",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig,
+    tracker: LineageTracker | None = None,
+    limit_buckets: list[int] | None = None,
+) -> dict:
+    """Run (or resume) a curation run into cfg.output_root.
+
+    limit_buckets restricts which pending buckets are processed this
+    invocation — used by tests to simulate a killed run.
+    Returns a dict of output paths + run stats.
+    """
+    tracker = tracker or LineageTracker()
+    out = cfg.output_root
+    curated_path = os.path.join(out, "curated")
+    manifest = Manifest.load_or_init(out, cfg.n_buckets)
+
+    pending = manifest.pending_buckets()
+    if limit_buckets is not None:
+        pending = [b for b in pending if b in limit_buckets]
+
+    if pending:
+        with tracker.stage("curate", rows_in=None) as h:
+            df = curate(pages, cfg)
+            if len(pending) < cfg.n_buckets:
+                df = df.where(F.col("bucket").isin(pending))
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(curated_path)
+            )
+            # per-bucket completion stats: one tiny agg over what we wrote
+            done = (
+                spark.read.parquet(curated_path)
+                .where(F.col("bucket").isin(pending))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("rows"), F.sum(F.col("keep").cast("long")).alias("kept"))
+                .collect()
+            )
+            written = {int(r["bucket"]): (int(r["rows"]), int(r["kept"])) for r in done}
+            h["rows_out"] = sum(r for r, _ in written.values())
+            for b in pending:
+                rows, kept = written.get(b, (0, 0))
+                manifest.mark_done(b, rows, kept)
+            manifest.save()
+
+    # ---- reporting over completed buckets (cheap, column-pruned) ----
+    done_buckets = manifest.done_buckets()
+    cur = spark.read.parquet(curated_path).where(F.col("bucket").isin(done_buckets))
+
+    reports: dict[str, DataFrame] = {}
+    with tracker.stage("report_rule_summary"):
+        # rule-level pass/fail per bucket (reference code_summary,
+        # potential_code_errors.sas:1294-1335) — single agg, flags are
+        # already materialized booleans.
+        flag_cols = [R.flag_name(r) for r in R.active_rules(cfg.rule_overrides)]
+        aggs = [F.count(F.lit(1)).alias("records")] + [
+            F.sum(F.col(c).cast("long")).alias(c) for c in flag_cols
+        ]
+        wide = cur.groupBy("bucket").agg(*aggs)
+        stack_args = ", ".join(f"'{c[5:]}', `{c}`" for c in flag_cols)
+        reports["rule_summary"] = wide.selectExpr(
+            "bucket",
+            "records",
+            f"stack({len(flag_cols)}, {stack_args}) as (rule_id, fail_records)",
+        ).withColumn(
+            "fail_pct",
+            F.when(F.col("records") > 0, F.round(F.col("fail_records") * 100.0 / F.col("records"), 2)).otherwise(0.0),
+        )
+
+    with tracker.stage("report_tag_profile"):
+        reports["pages_tag"] = tag_profile(
+            cur, ["url", "lang", "scrubbed_text"], dataset="curated"
+        )
+
+    with tracker.stage("report_lang_dist"):
+        reports["lang_dist"] = n_pct(cur, "lang_pred", LANG_VALUESET, distinct_col="url")
+
+    with tracker.stage("report_ym_dist"):
+        # plausible-window rows only: future / pre-1900 outliers are
+        # counted by minmax_profile, not stretched into the dense fill
+        # (reference invalid/future split, data_curation_tables.sas:2805-2820)
+        plausible = cur.where(
+            (F.col("warc_ts") >= F.lit("1900-01-01").cast("timestamp"))
+            & (F.col("warc_ts") <= F.lit(cfg.run_date.isoformat()).cast("timestamp"))
+        )
+        ym = (
+            plausible.select(F.date_format("warc_ts", "yyyy_MM").alias("ym"))
+            .groupBy("ym")
+            .agg(F.count(F.lit(1)).alias("record_n"))
+        )
+        reports["warc_ym_dist"] = ym_dense_fill(ym)
+
+    with tracker.stage("report_cont_stats"):
+        reports["tokens_by_keep"] = cont_stats(cur, "n_tokens", group=["keep"])
+        reports["ppl_stats"] = cont_stats(cur, "ppl")
+
+    with tracker.stage("report_minmax"):
+        reports["warc_minmax"] = minmax_profile(
+            cur, "warc_ts", future_after=cfg.run_date.isoformat()
+        )
+
+    with tracker.stage("report_verdict_summary"):
+        reports["verdict_summary"] = cur.agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.round(F.avg(F.col("keep").cast("double")) * 100.0, 2).alias("keep_pct"),
+        )
+
+    with tracker.stage("report_url_unique"):
+        reports["url_unique"] = cur.agg(
+            F.count("url").alias("url_n"),
+            F.countDistinct("url").alias("url_distinct_n"),
+            (F.count("url") - F.countDistinct("url")).alias("dup_url_n"),
+        )
+
+    reports_path = os.path.join(out, "reports")
+    for name, rdf in reports.items():
+        rdf.write.mode("overwrite").parquet(os.path.join(reports_path, name))
+        manifest.mark_report(name)
+    manifest.save()
+
+    # ---- normalize + checks (reads back the tiny report tables) ----
+    with tracker.stage("normalize_metrics"):
+        rread = {
+            name: spark.read.parquet(os.path.join(reports_path, name)) for name in reports
+        }
+        melted = [
+            melt_report(rread["rule_summary"], "rule_summary", ["bucket", "rule_id"]),
+            melt_report(rread["pages_tag"], "pages_tag", ["dataset", "tag"]),
+            melt_report(rread["lang_dist"], "lang_dist", ["category"]),
+            melt_report(rread["warc_ym_dist"], "warc_ym_dist", ["ym"]),
+            melt_report(rread["tokens_by_keep"], "tokens_by_keep", ["keep"]),
+            melt_report(rread["ppl_stats"], "ppl_stats", []),
+            melt_report(rread["warc_minmax"], "warc_minmax", ["variable"]),
+            melt_report(rread["verdict_summary"], "verdict_summary", []),
+            melt_report(rread["url_unique"], "url_unique", []),
+        ]
+        # rename 'tag' melts: variable column comes from id concat; fine as category
+        metrics = assemble_metrics(melted)
+        metrics_path = os.path.join(out, "metrics")
+        metrics.write.mode("overwrite").parquet(metrics_path)
+
+    with tracker.stage("data_checks"):
+        exceptions = run_checks(spark.read.parquet(metrics_path), DEFAULT_CHECKS)
+        exceptions_path = os.path.join(out, "exceptions")
+        exceptions.write.mode("overwrite").parquet(exceptions_path)
+
+    lineage_path = os.path.join(out, "lineage")
+    tracker.to_df(spark).write.mode("append").parquet(lineage_path)
+
+    stats = {
+        "buckets_done": len(done_buckets),
+        "buckets_processed_now": len(pending),
+        "rows": sum(v["rows"] for v in manifest.data["buckets"].values()),
+        "kept": sum(v["kept"] for v in manifest.data["buckets"].values()),
+    }
+    return {
+        "curated": curated_path,
+        "reports": reports_path,
+        "metrics": metrics_path,
+        "exceptions": exceptions_path,
+        "lineage": lineage_path,
+        "manifest": manifest.path,
+        "stats": stats,
+    }

@@ -1,0 +1,100 @@
+"""End-to-end pipeline + checkpoint/resume semantics (FIXTURES.md §4)."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.config import PipelineConfig
+from pcornet_data_curation_spark.datagen.pages import pages_df
+from pcornet_data_curation_spark.plans.checkpoint import Manifest
+from pcornet_data_curation_spark.plans.pipeline import run_pipeline
+
+N = 800
+
+
+@pytest.fixture()
+def outdir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _read_sorted(spark, path):
+    return (
+        spark.read.parquet(path)
+        .orderBy("url")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_pipeline_end_to_end(spark, outdir):
+    cfg = PipelineConfig(output_root=outdir, n_buckets=4)
+    res = run_pipeline(spark, pages_df(spark, N, partitions=4), cfg)
+    assert res["stats"]["buckets_done"] == 4
+    cur = spark.read.parquet(res["curated"])
+    assert cur.count() == res["stats"]["rows"] > 0
+    # every row landed in its url-hash bucket
+    bad = cur.where(
+        F.pmod(F.xxhash64("url"), F.lit(4)).cast("int") != F.col("bucket")
+    ).count()
+    assert bad == 0
+    # reports exist and are non-trivial
+    for name in ["rule_summary", "lang_dist", "verdict_summary", "warc_ym_dist"]:
+        assert spark.read.parquet(os.path.join(res["reports"], name)).count() > 0
+    assert spark.read.parquet(res["metrics"]).count() > 0
+    exc = spark.read.parquet(res["exceptions"]).toPandas()
+    assert not exc["exception"].any()  # healthy synthetic run
+    lin = spark.read.parquet(res["lineage"]).toPandas()
+    assert (lin["status"] == "ok").all() and len(lin) >= 9
+
+
+def test_resume_skips_done_and_matches_cold_run(spark, outdir):
+    pages = pages_df(spark, N, partitions=4)
+    cfg = PipelineConfig(output_root=outdir, n_buckets=4)
+
+    # cold full run → golden
+    gold_dir = outdir + "_gold"
+    run_pipeline(spark, pages, PipelineConfig(output_root=gold_dir, n_buckets=4))
+    gold = _read_sorted(spark, os.path.join(gold_dir, "curated"))
+
+    # killed run: only buckets 0,1 completed
+    run_pipeline(spark, pages, cfg, limit_buckets=[0, 1])
+    m = Manifest.load_or_init(outdir, 4)
+    assert m.done_buckets() == [0, 1]
+
+    # record bytes of completed bucket files, then resume
+    done_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(outdir, "curated", "bucket=0", "*.parquet"))
+        + glob.glob(os.path.join(outdir, "curated", "bucket=1", "*.parquet"))
+    }
+    res = run_pipeline(spark, pages, cfg)
+    assert res["stats"]["buckets_processed_now"] == 2  # only 2,3 recomputed
+    for p, mtime in done_files.items():
+        assert os.path.getmtime(p) == mtime, f"completed bucket rewritten: {p}"
+
+    resumed = _read_sorted(spark, os.path.join(outdir, "curated"))
+    assert resumed.equals(gold)
+
+
+def test_manifest_bucket_mismatch_rejected(spark, outdir):
+    cfg = PipelineConfig(output_root=outdir, n_buckets=4)
+    run_pipeline(spark, pages_df(spark, 100, partitions=2), cfg, limit_buckets=[0])
+    with pytest.raises(ValueError, match="n_buckets"):
+        Manifest.load_or_init(outdir, 8)
+
+
+def test_lookback_filter(spark, outdir):
+    import datetime as dt
+
+    from pcornet_data_curation_spark.plans.pipeline import lookback_filter
+
+    cfg = PipelineConfig(run_date=dt.date(2026, 1, 1), lookback_years=3)
+    pages = pages_df(spark, 500, partitions=2)
+    kept = lookback_filter(pages, cfg)
+    assert kept.count() < pages.count()  # pre-2023 rows dropped
+    assert kept.where(F.col("warc_ts").isNull()).count() > 0  # nulls retained
+    oldest = kept.agg(F.min("warc_ts")).collect()[0][0]
+    assert oldest is None or oldest >= dt.datetime(2023, 1, 1)

@@ -1,0 +1,138 @@
+"""Report-family semantics: super-population, NULL/overflow categories,
+dense YM fill, exact stats — differential-checked against DuckDB on the
+driver's testdata where applicable (SURVEY §5)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.operators.reports import (
+    NULL_CATEGORY,
+    OVERFLOW_CATEGORY,
+    cont_stats,
+    crosstab,
+    minmax_profile,
+    n_pct,
+    n_pct_noref,
+    tag_profile,
+    ym_dense_fill,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_tag_profile_vs_duckdb(spark, orders):
+    got = (
+        tag_profile(orders, ["o_orderstatus", "o_custkey"], dataset="orders")
+        .toPandas()
+        .set_index("tag")
+    )
+    for col in ["o_orderstatus", "o_custkey"]:
+        want = duckdb.sql(
+            f"select count({col}) a, count(distinct {col}) d, "
+            f"sum(case when {col} is null then 1 else 0 end) n "
+            f"from '{SF}/orders.parquet'"
+        ).fetchone()
+        assert got.loc[col, "all_n"] == want[0]
+        assert got.loc[col, "distinct_n"] == want[1]
+        assert got.loc[col, "null_n"] == (want[2] or 0)
+
+
+def test_n_pct_superpopulation(spark, orders):
+    vs = ["O", "F", "P", "ZZZ_NEVER"]  # ZZZ_NEVER must appear zero-filled
+    got = n_pct(orders, "o_orderstatus", vs, distinct_col="o_custkey").toPandas()
+    cats = got["category"].tolist()
+    assert cats == vs + [NULL_CATEGORY, OVERFLOW_CATEGORY]
+    assert got.loc[got.category == "ZZZ_NEVER", "record_n"].iloc[0] == 0
+    assert got["record_n"].sum() == orders.count()
+    assert abs(got["record_pct"].sum() - 100.0) < 0.5
+
+
+def test_n_pct_empty_input_full_domain(spark):
+    empty = spark.createDataFrame([], "x string, k string")
+    got = n_pct(empty, "x", ["A", "B"], distinct_col="k").toPandas()
+    assert got["category"].tolist() == ["A", "B", NULL_CATEGORY, OVERFLOW_CATEGORY]
+    assert (got["record_n"] == 0).all() and (got["record_pct"] == 0.0).all()
+
+
+def test_n_pct_noref_forced_null_row(spark, orders):
+    got = n_pct_noref(orders, "o_orderpriority").toPandas()
+    assert NULL_CATEGORY in got["category"].tolist()
+    assert got["category"].tolist()[-1] == NULL_CATEGORY  # forced last
+    want = duckdb.sql(
+        f"select count(distinct o_orderpriority) from '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert len(got) == want + 1
+
+
+def test_cont_stats_exact_percentiles_vs_duckdb(spark, lineitem):
+    got = cont_stats(lineitem, "l_quantity").toPandas().iloc[0]
+    want = duckdb.sql(
+        f"""select count(l_quantity), min(l_quantity), avg(l_quantity), max(l_quantity),
+            quantile_cont(l_quantity, 0.05), quantile_cont(l_quantity, 0.25),
+            quantile_cont(l_quantity, 0.50), quantile_cont(l_quantity, 0.75),
+            quantile_cont(l_quantity, 0.95)
+            from '{SF}/lineitem.parquet'"""
+    ).fetchone()
+    assert got["n"] == want[0]
+    assert got["min"] == pytest.approx(want[1])
+    assert got["mean"] == pytest.approx(want[2])
+    assert got["max"] == pytest.approx(want[3])
+    for i, p in enumerate(["p05", "p25", "p50", "p75", "p95"]):
+        assert got[p] == pytest.approx(want[4 + i]), p
+
+
+def test_cont_stats_grouped_null_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 5.0), (None, None)], "g string, v double"
+    )
+    got = cont_stats(df, "v", group=["g"]).toPandas().set_index("g")
+    assert got.loc["a", "n"] == 2 and got.loc["a", "p50"] == 2.0
+    # NULL group row present (reference forced NULL-group row)
+    nullrow = got[got.index.isnull()]
+    assert len(nullrow) == 1 and nullrow["nmiss"].iloc[0] == 1
+
+
+def test_ym_dense_fill(spark):
+    counts = spark.createDataFrame(
+        [("2020_01", 5), ("2020_04", 2)], "ym string, record_n long"
+    )
+    got = ym_dense_fill(counts).toPandas()
+    assert got["ym"].tolist() == ["2020_01", "2020_02", "2020_03", "2020_04"]
+    assert got["record_n"].tolist() == [5, 0, 0, 2]
+
+
+def test_ym_dense_fill_empty(spark):
+    empty = spark.createDataFrame([], "ym string, record_n long")
+    assert ym_dense_fill(empty).count() == 0
+
+
+def test_minmax_profile(spark):
+    df = spark.createDataFrame(
+        [("2020-05-01",), ("1850-01-01",), ("2099-01-01",), (None,)], "d string"
+    ).select(F.col("d").cast("timestamp").alias("d"))
+    got = minmax_profile(df, "d", future_after="2026-01-01").toPandas().iloc[0]
+    assert got["n"] == 3 and got["nmiss"] == 1
+    assert got["implausible_n"] == 1 and got["future_n"] == 1
+    assert got["min_ym"] == "1850_01" and got["max_ym"] == "2099_01"
+
+
+def test_crosstab_full_domain(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), (None, "x")], "c1 string, c2 string")
+    got = crosstab(df, ["c1", "c2"], domains={"c1": ["a", "b"], "c2": ["x", "y"]}).toPandas()
+    # (a,b,NULL) x (x,y,NULL) = 9 cells, all present
+    assert len(got) == 9
+    assert got["record_n"].sum() == 3
+    zero_cells = got[(got.c1 == "b")]
+    assert (zero_cells["record_n"] == 0).all()

@@ -1,0 +1,58 @@
+"""Byte-identity of the JVM regexp_replace scrub chain vs the Python
+`re` oracle — including the adversarial unicode/boundary regression set
+(BASELINE.json: byte-identical scrubbed text per url)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.functions.scrub import (
+    scrub_column,
+    scrub_series_py,
+    scrub_text_py,
+)
+
+ADVERSARIAL = [
+    "Email: a.b@x.co, ip 10.0.0.1. Call (415) 555-1234 now 999-88-7777",
+    "ſmeg fraK FRAK frak Frak Kelvin smeg SMEG",  # unicode case-folding traps
+    "v1.192.168.1.1.3 and 1.2.3.4.5 partial 300-12-3456x",
+    "",
+    "no pii here at all",
+    "a@b.co a@b.co a@b.co",  # repeated matches
+    "4111 1111 1111 1111 and 4111-1111-1111-1111",
+    "+1 415.555.2671 or 415 555 2671",
+    "edge.168.1.1 10.0.0.255. 256.1.1.1",
+    "frakking unfrak frak-ing frak.",  # word-boundary lookarounds
+    "nbsp\xa0gorram\xa0end",  # nbsp is not [A-Za-z] → scrub applies
+    "newline\nfrak\nend 123-45-6789\n",
+]
+
+
+def test_python_scrub_values():
+    assert scrub_text_py("mail a.b@x.co now") == "mail <EMAIL> now"
+    assert scrub_text_py("ssn 123-45-6789.") == "ssn <SSN>."
+    assert scrub_text_py("ip 10.0.0.1.") == "ip <IP>."
+    assert scrub_text_py("1.2.3.4.5") == "1.2.3.4.5"  # not an IPv4
+    assert scrub_text_py("what the FRAK!") == "what the <TOX>!"
+    assert scrub_text_py("frakking") == "frakking"  # whole word only
+    assert scrub_text_py(None) is None
+
+
+def test_jvm_python_byte_identity(spark):
+    pdf = pd.DataFrame({"id": range(len(ADVERSARIAL)), "text": ADVERSARIAL})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select("id", scrub_column(F.col("text")).alias("s"))
+        .toPandas()
+        .sort_values("id")["s"]
+        .tolist()
+    )
+    want = scrub_series_py(pdf["text"]).tolist()
+    assert got == want
+
+
+def test_scrub_series_matches_scalar():
+    s = pd.Series(ADVERSARIAL + [None])
+    vec = scrub_series_py(s).tolist()
+    scal = [scrub_text_py(x) for x in s]
+    assert [v if isinstance(v, str) else None for v in vec] == scal

@@ -1,0 +1,66 @@
+"""Unit tests for the deterministic scoring core (no Spark needed)."""
+
+import pandas as pd
+import pytest
+
+from pcornet_data_curation_spark.functions import textcore as tc
+
+
+def test_tokenize_ascii_whitespace_only():
+    assert tc.tokenize("a b\tc\nd") == ["a", "b", "c", "d"]
+    assert tc.tokenize("") == []
+    # unicode nbsp is NOT a separator (explicit ASCII class)
+    assert tc.tokenize("a\xa0b") == ["a\xa0b"]
+
+
+def test_langid_basic():
+    en, conf = tc.langid_scores("the committee published the annual report and the members discussed it")
+    assert en == "en" and conf > 0.3
+    de, _ = tc.langid_scores("der schnelle braune fuchs springt ueber den faulen hund und dann")
+    assert de == "de"
+    und, c0 = tc.langid_scores("")
+    assert und == "und" and c0 == 0.0
+
+
+def test_perplexity_ordering():
+    # long samples — char-bigram ppl is noisy on single short sentences
+    en = tc.perplexity(
+        "she walked to the market in the morning and bought fresh bread and "
+        "the new library opened last week and hundreds of people came to see "
+        "the reading rooms and the orchestra performed for the people there"
+    )
+    de = tc.perplexity(
+        "die mitglieder des ausschusses haben den bericht ueber die "
+        "entwicklung der region ausfuehrlich besprochen und viele fragen "
+        "gestellt und sie arbeiten seit vielen jahren mit ihren freunden"
+    )
+    junk = tc.perplexity("zqxj wvkq zzzz qqqq xjxj zqxj wvkq zzzz qqqq xjxj")
+    assert en < de < junk
+    assert tc.perplexity("") > 100  # OOV max for no signal
+    assert tc.perplexity("12345 !!!") > 100  # <10 in-alphabet pairs
+
+
+def test_dup_ngram_fracs():
+    toks = ("click here to win now " * 10).split()
+    assert tc.dup_ngram_char_frac(toks, 5) == 1.0
+    assert tc.dup_ngram_char_frac(["a", "b", "c"], 5) == 0.0
+    assert tc.top_ngram_char_frac(toks, 2) > 0.0
+    assert tc.dup_line_frac("x\ny\nx") == pytest.approx(2 / 3)
+    assert tc.dup_line_frac("") == 0.0
+
+
+def test_doc_stats_frame_nulls_and_types():
+    s = pd.Series(["the cat sat. it sat!", None, ""])
+    f = tc.doc_stats_frame(s)
+    assert list(f.columns) == [n for n, _ in tc.STAT_FIELDS]
+    assert f.loc[0, "n_tokens"] == 5
+    assert f.loc[0, "n_sentences"] == 2
+    assert f.loc[1, "n_chars"] == 0 and f.loc[2, "n_chars"] == 0
+    assert f["n_tokens"].dtype == "int64" and f["ppl"].dtype == "float64"
+
+
+def test_determinism():
+    s = pd.Series(["the quick brown fox jumps over the lazy dog"] * 3)
+    f1, f2 = tc.doc_stats_frame(s), tc.doc_stats_frame(s)
+    pd.testing.assert_frame_equal(f1, f2)
+    assert f1.loc[0, "ppl"] == f1.loc[1, "ppl"]
