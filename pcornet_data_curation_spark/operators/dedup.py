@@ -1,0 +1,325 @@
+"""Deduplication operators over a documents table.
+
+A first-class capability for training-data pipelines (driver brief):
+
+* exact_dedup          — hash-groupBy, deterministic survivor
+* minhash_lsh_pairs    — shingle → MinHash → band → bucket-join → verify
+* simhash_pairs        — 64-bit SimHash, banded hamming candidates
+* ngram_jaccard_pairs  — exact shingle-set jaccard via explode + self-join
+                         (fully SQL-expressible → DuckDB oracle)
+* embedding_dup_pairs  — cosine near-dup over array<float> embeddings
+                         (JVM zip_with/aggregate dot product, no UDF)
+
+Scale notes: every pairing operator goes through a *bucket* equi-join
+(band hash, simhash band, LSH bucket) so the shuffle carries
+(bucket, id, payload) rows and candidate generation is linear-ish, not
+the O(n²) cross join; the exact-verify step runs only on candidates.
+Signatures come from one vectorized pandas-UDF pass (Arrow batches).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from pcornet_data_curation_spark.functions import hashing as H
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (lowest id survives — deterministic).
+    groupBy on xxhash64(text) + min(id), then a semi-join back: the
+    shuffle carries (hash, id), never the text payload twice."""
+    h = F.xxhash64(F.col(text_col)).alias("_h")
+    survivors = (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, min_id) for texts occurring more than once —
+    the reference's non-unique-key detection shape
+    (data_curation_tables.sas:2659-2726)."""
+    return (
+        df.select(F.xxhash64(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", num_perm: int = 64, k: int = 3, seed: int = 42
+) -> DataFrame:
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: H.minhash_signature(t, num_perm=num_perm, k=k, seed=seed))
+
+    return df.withColumn("minhash", _sig(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    signature → slice into `bands` rows of num_perm/bands values →
+    hash each band → equi-join on (band_idx, band_hash) → distinct
+    candidate pairs → estimate jaccard as matching-minhash fraction.
+    """
+    rows_per_band = num_perm // bands
+    sigged = with_minhash(df, text_col, num_perm, k, seed).select(
+        F.col(id_col).alias("_id"), "minhash"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhash")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigged.select("_id", "minhash", F.explode(band_structs).alias("bs")).select(
+        "_id", "minhash", F.col("bs.band").alias("band"), F.col("bs.bhash").alias("bhash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.minhash").alias("sig_a"),
+            F.col("r.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(len(range(num_perm))))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    def _to_signed(u: int) -> int:
+        # two's-complement view of the uint64 for LongType storage
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    @pandas_udf(T.LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _to_signed(H.simhash64(t)))
+
+    return df.withColumn("simhash", _sim(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs by banded simhash (pigeonhole: ≤max_hamming bit
+    flips leave ≥1 of n_bands 16-bit bands identical), verified with an
+    exact popcount on the JVM (bit_count)."""
+    hashed = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    bits_per_band = 64 // n_bands
+    banded = hashed.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (SQL-expressible — DuckDB oracle exists)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact jaccard over word-k-shingle SETS via explode + self-join on
+    shingle (shuffle keyed by shingle ⇒ no cross join). Pure Column
+    algebra: the shingling itself is sentence-split/transform JVM code.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f\\x0B]+", " ")), " ")
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    shingled = (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("_id"), F.array_distinct(sh).alias("shingles"))
+        .select("_id", F.size("shingles").alias("set_size"), F.explode("shingles").alias("shingle"))
+    )
+    l, r = shingled.alias("l"), shingled.alias("r")
+    inter = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.set_size").alias("size_a"),
+            F.col("r.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    jac = F.col("inter_n") / (F.col("size_a") + F.col("size_b") - F.col("inter_n"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    n_planes=0: exact self-join (quadratic candidate set — small inputs
+    / verification). n_planes>0: sign-LSH bucketing first (scale path):
+    only pairs agreeing on all plane signs are compared, trading recall
+    for a bucket-keyed equi-join.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if n_planes > 0:
+        import numpy as np
+
+        dim = len(base.select("v").first()["v"])
+        planes = H.hyperplane_signs(dim, n_planes, seed)
+        sign_bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0
+            ).cast("int")
+            for p in range(n_planes)
+        ]
+        bucket = F.concat_ws("", *[b.cast("string") for b in sign_bits]).alias("bucket")
+        base = base.select("_id", "v", bucket)
+        join_cond = (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id"))
+    else:
+        join_cond = F.col("l._id") < F.col("r._id")
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, join_cond).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        _cosine_expr("l.v", "r.v").alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators over a documents table — JVM-first.
+
+Unlike the scoring UDF (which needs numpy models), these are the
+cheap per-document text metrics expressed entirely in Column algebra
+so they stay inside whole-stage codegen AND have exact ANSI-SQL
+oracles (DuckDB) for the driver's correctness gate:
+
+* token_count / char metrics
+* quality_score   — length/punct/stopword-ratio heuristic score
+* langid_heuristic — stopword-marker language guess (en/de/fr/es)
+* fingerprint     — whitespace-normalized content hash (xxhash64;
+  rows-only oracle since the hash fn is Spark-specific)
+
+The ASCII whitespace class matches functions.textcore.WS_RE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+def _tokens(col):
+    return F.split(F.trim(F.regexp_replace(col, WS, " ")), " ")
+
+
+def token_count(col):
+    """Whitespace token count; 0 for empty/null-as-empty strings."""
+    t = F.trim(F.regexp_replace(col, WS, " "))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    toks = token_count(c)
+    return df.withColumn("n_chars_sql", F.length(c)).withColumn("n_tokens_sql", toks)
+
+
+_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "los", "que"],
+}
+
+
+def _marker_hits(col, words: list[str]):
+    """Occurrences of whole-word markers in the lowercased text —
+    counted by padding + split arithmetic (size(split(x, ' w ')) - 1),
+    which has an exact SQL equivalent."""
+    padded = F.concat(F.lit(" "), F.regexp_replace(F.lower(col), WS, " "), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        total = total + F.size(F.split(padded, f" {w} ", -1)) - 1
+    return total
+
+
+def langid_heuristic(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language vote: argmax over per-language marker
+    hit counts; 'und' when all zero. Exactly SQL-expressible (the
+    split-count trick undercounts adjacent repeats identically in both
+    engines, so parity holds)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    hits = {lang: _marker_hits(c, ws).alias(f"hits_{lang}") for lang, ws in _MARKERS.items()}
+    scored = df.select(F.col(id_col), *hits.values())
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _MARKERS:  # first-wins tie break in fixed order
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return scored.select(
+        id_col,
+        *[f"hits_{lang}" for lang in _MARKERS],
+        pred.alias("lang_guess"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length band + terminal-punct
+    density + stopword presence, all Column algebra with a SQL oracle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    sent_marks = (
+        F.size(F.split(c, "\\.", -1)) - 1 + F.size(F.split(c, "!", -1)) - 1 + F.size(F.split(c, "\\?", -1)) - 1
+    ).cast("double")
+    stop_hits = _marker_hits(c, _MARKERS["en"]).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sent_score = F.least(sent_marks / F.greatest(n_tok / F.lit(20.0), F.lit(1.0)), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.greatest(n_tok / F.lit(10.0), F.lit(1.0)), F.lit(1.0))
+    score = F.round((len_score + sent_score + stop_score) / F.lit(3.0), 4)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace/case-normalized 64-bit content fingerprint — exact-dup
+    detection robust to formatting (xxhash64: Spark-side only)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), WS, " ")))
+    return df.select(F.col(id_col), F.xxhash64(norm).alias("fingerprint"))

@@ -1,0 +1,97 @@
+"""Dedup operator semantics on controlled fixtures + driver documents."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.functions import hashing as H
+from pcornet_data_curation_spark.operators.dedup import (
+    duplicate_groups,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different content about astronomy telescopes and distant galaxies"),
+    (5, "another unrelated document regarding cooking recipes and kitchen tools"),
+    (6, None),
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).toPandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3, 4, 5, 6, 7]  # 2 removed, min-id survives
+    groups = duplicate_groups(docs).toPandas()
+    assert len(groups) == 1 and groups["n_docs"].iloc[0] == 2 and groups["min_id"].iloc[0] == 1
+
+
+def test_minhash_unit():
+    s1 = H.minhash_signature(DOCS[0][1])
+    s2 = H.minhash_signature(DOCS[1][1])
+    s3 = H.minhash_signature(DOCS[2][1])
+    s4 = H.minhash_signature(DOCS[3][1])
+    assert s1 == s2  # identical docs → identical signatures
+    sim13 = sum(a == b for a, b in zip(s1, s3)) / len(s1)
+    sim14 = sum(a == b for a, b in zip(s1, s4)) / len(s1)
+    assert sim13 > 0.6 > sim14
+    real_j = H.jaccard(set(H.word_shingles(DOCS[0][1])), set(H.word_shingles(DOCS[2][1])))
+    assert abs(sim13 - real_j) < 0.25  # minhash estimates jaccard
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=6).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1, 2) in got
+    assert pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"] == 0
+    assert not any({4, 5} <= {a, b} for a, b in got)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    got = {(a, b): j for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+    assert got[(1, 2)] == 1.0
+    want_13 = H.jaccard(set(H.word_shingles(DOCS[0][1])), set(H.word_shingles(DOCS[2][1])))
+    assert got[(1, 3)] == pytest.approx(want_13, abs=1e-4)
+    assert (4, 5) not in got
+
+
+def test_embedding_dup_exact_vs_lsh(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_dup_pairs(emb, threshold=0.97).toPandas()
+    lsh = embedding_dup_pairs(emb, threshold=0.97, n_planes=4).toPandas()
+    exact_set = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    lsh_set = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
+    assert lsh_set <= exact_set  # LSH returns a subset (no false positives)
+    if exact_set:
+        assert len(lsh_set) / len(exact_set) >= 0.3  # some recall
+
+
+def test_exact_dedup_vs_duckdb_on_documents(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = exact_dedup(docs).count()
+    want = duckdb.sql(
+        f"""with s as (select min(doc_id) doc_id from '{SF}/documents.parquet' group by text)
+            select count(*) from s"""
+    ).fetchone()[0]
+    assert got == want

@@ -1,0 +1,62 @@
+"""ANN similarity search over the driver embeddings table."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pcornet_data_curation_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    query_bucket,
+    with_lsh_bucket,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    row = emb.orderBy("vec_id").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_brute_force_topk_vs_numpy(spark, emb, query):
+    got = brute_force_topk(emb, query, k=10).toPandas()
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = np.array(query)
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-cos.round(6), pdf["vec_id"]))[:10]
+    want_ids = [int(v) for _, v in order]
+    assert got["vec_id"].tolist() == want_ids
+    assert got["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-5)  # query ∈ table
+
+
+def test_brute_force_topk_vs_duckdb(spark, emb, query):
+    got = brute_force_topk(emb, query, k=5).toPandas()
+    qlit = "[" + ",".join(str(x) for x in query) + "]"
+    want = duckdb.sql(
+        f"""select vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {qlit}::DOUBLE[]), 6) cosine
+            from '{SF}/embeddings.parquet'
+            order by cosine desc, vec_id limit 5"""
+    ).df()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["cosine"].tolist() == pytest.approx(want["cosine"].tolist(), abs=1e-5)
+
+
+def test_lsh_topk_prunes_and_recalls(spark, emb, query):
+    bucketed = with_lsh_bucket(emb, dim=len(query), n_planes=6)
+    probed_n = lsh_topk(bucketed, query, k=5, n_planes=6, max_hamming=1).count()
+    assert 0 < probed_n <= 5
+    # the query vector itself is in the table → must be found (hamming 0 bucket)
+    top = lsh_topk(bucketed, query, k=1, n_planes=6, max_hamming=0).toPandas()
+    assert top["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+    # bucket of the query matches the bucketing of the identical stored vector
+    qb = query_bucket(query, 6)
+    stored = bucketed.orderBy("vec_id").first()["lsh_bucket"]
+    assert stored == qb

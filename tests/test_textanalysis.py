@@ -1,0 +1,74 @@
+"""JVM-side text analysis vs DuckDB SQL oracles (dialect parity)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.operators.textanalysis import (
+    fingerprint,
+    langid_heuristic,
+    quality_score,
+    with_token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_token_count_vs_duckdb(spark, docs):
+    got = (
+        with_token_stats(docs)
+        .select("doc_id", "n_tokens_sql")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = duckdb.sql(
+        f"""select doc_id,
+            case when length(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) = 0
+                 then 0
+                 else len(string_split(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' '))
+            end n
+            from '{SF}/documents.parquet' order by doc_id"""
+    ).df().set_index("doc_id")
+    assert got["n_tokens_sql"].tolist() == want["n"].tolist()
+
+
+def test_langid_heuristic(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze und der vogel"),
+        (3, "le chat et les chiens et le merle"),
+        (4, "zzz qqq xxx"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = langid_heuristic(df).toPandas().set_index("doc_id")["lang_guess"]
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "und" and got[5] == "und"
+
+
+def test_quality_score_range_and_order(spark, docs):
+    q = quality_score(docs).toPandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    # longer, sentence-rich docs score higher than tiny ones on average
+    rich = q[q.n_tokens >= 50]["quality"].mean()
+    tiny = q[q.n_tokens < 10]["quality"].mean()
+    if len(q[q.n_tokens < 10]):
+        assert rich > tiny
+
+
+def test_fingerprint_normalization(spark):
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),
+        (3, "hello\tworld\n"),
+        (4, "different entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[1] == fp[2] == fp[3] != fp[4]
