@@ -251,9 +251,12 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter_n"))
     )
+    # threshold on the RAW ratio (never on a rounded value — Spark round
+    # is decimal-string HALF_UP, oracle engines round binary, so a
+    # rounded threshold can flip membership at the boundary)
     jac = F.col("inter_n") / (F.col("size_a") + F.col("size_b") - F.col("inter_n"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 4))
+        inter.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -39,6 +39,23 @@ NULL_CATEGORY = "NULL or missing"
 OVERFLOW_CATEGORY = "Values outside of CDM specifications"
 
 
+def _pct_expr(n_col, total_col):
+    """Percentage with 2 decimals as floor(n*10000.0/total)/100.
+
+    Deliberately floor-of-basis-points, NOT round(x, 2): Spark's round
+    goes through BigDecimal.valueOf (decimal-string HALF_UP) while
+    DuckDB/Postgres round doubles half-away-from-zero on the binary
+    value, so round() results can differ in the last digit between
+    engines. floor over the identical IEEE expression tree is
+    bit-reproducible everywhere — the driver's DuckDB oracle hash
+    matches exactly. SQL equivalent:
+        floor(n * 10000.0 / total) / 100.0
+    """
+    return F.when(
+        total_col > 0, F.floor(n_col * 10000.0 / total_col) / 100.0
+    ).otherwise(F.lit(0.0))
+
+
 # ---------------------------------------------------------------------------
 # %tag — per-column conformance profile
 # ---------------------------------------------------------------------------
@@ -130,10 +147,7 @@ def n_pct(
         fill["distinct_n"] = 0
     out = domain.join(counts, "category", "left").na.fill(fill)
     total = F.sum("record_n").over(Window.partitionBy())
-    out = out.withColumn(
-        "record_pct",
-        F.when(total > 0, F.round(F.col("record_n") * 100.0 / total, 2)).otherwise(F.lit(0.0)),
-    )
+    out = out.withColumn("record_pct", _pct_expr(F.col("record_n"), total))
     cols_out = ["category", "ord", "record_n", "record_pct"] + (
         ["distinct_n"] if distinct_col else []
     )
@@ -165,10 +179,7 @@ def n_pct_noref(
             .na.fill({"record_n": 0, **({"distinct_n": 0} if distinct_col else {})})
         )
     total = F.sum("record_n").over(Window.partitionBy())
-    out = counts.withColumn(
-        "record_pct",
-        F.when(total > 0, F.round(F.col("record_n") * 100.0 / total, 2)).otherwise(F.lit(0.0)),
-    )
+    out = counts.withColumn("record_pct", _pct_expr(F.col("record_n"), total))
     # NULL category forced last, then alpha (reference sentinel sort).
     return out.orderBy(
         F.when(F.col("category") == NULL_CATEGORY, 1).otherwise(0), F.col("category")
@@ -318,6 +329,5 @@ def crosstab(
         counts = domain_df.join(counts, levels, "left").na.fill(fill)
     total = F.sum("record_n").over(Window.partitionBy())
     return counts.withColumn(
-        "record_pct",
-        F.when(total > 0, F.round(F.col("record_n") * 100.0 / total, 2)).otherwise(F.lit(0.0)),
+        "record_pct", _pct_expr(F.col("record_n"), total)
     ).orderBy(*levels)

@@ -43,9 +43,12 @@ def brute_force_topk(
     full sort/shuffle of the scores."""
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
     v = F.col(vec_col).cast("array<double>")
+    # raw double, no F.round: Spark's decimal-string HALF_UP round
+    # diverges from other engines' binary rounding, and the identical
+    # IEEE expression tree already reproduces bit-for-bit in the oracle
     cos = _dot_with_literal(v, query) / (_norm(v) * F.lit(qn))
     return (
-        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        df.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -89,7 +89,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     sent_score = F.least(sent_marks / F.greatest(n_tok / F.lit(20.0), F.lit(1.0)), F.lit(1.0))
     stop_score = F.least(stop_hits / F.greatest(n_tok / F.lit(10.0), F.lit(1.0)), F.lit(1.0))
-    score = F.round((len_score + sent_score + stop_score) / F.lit(3.0), 4)
+    # raw double (no F.round): the identical IEEE expression tree is
+    # replayed by the SQL oracle, and Spark round() is not cross-engine
+    # reproducible (decimal-string HALF_UP vs binary rounding)
+    score = (len_score + sent_score + stop_score) / F.lit(3.0)
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),

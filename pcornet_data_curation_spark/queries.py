@@ -1,0 +1,1003 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, an
+ANSI-SQL oracle string DuckDB runs on the same parquet tables.
+
+Cross-engine parity rules (driver compares value hashes verbatim):
+* never F.round on compared doubles — Spark rounds via decimal-string
+  HALF_UP, DuckDB half-away-from-zero on the binary value; instead
+  either emit raw doubles produced by the *identical* IEEE expression
+  tree, or floor-of-basis-points for percentages (reports._pct_expr);
+* money sums go through DECIMAL(18,2) so accumulation order cannot
+  change the value; averages are decimal-sum / count;
+* regex restricted to the Java ∩ RE2 dialect (explicit ASCII classes,
+  no lookaround) for any pattern an oracle replays — the full scrub
+  chain (lookarounds) keeps its byte-identity test against the Python
+  `re` oracle in pytest and is rows-only here;
+* alias every computed column identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.functions.scrub import scrub_column
+from pcornet_data_curation_spark.operators import textanalysis as TA
+from pcornet_data_curation_spark.operators.dedup import (
+    duplicate_groups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pcornet_data_curation_spark.operators.reports import (
+    cont_stats,
+    crosstab,
+    minmax_profile,
+    n_pct,
+    n_pct_noref,
+    tag_profile,
+    ym_dense_fill,
+)
+from pcornet_data_curation_spark.operators.similarity import brute_force_topk, lsh_topk
+
+WS = "[ \\t\\n\\r\\f\\x0B]+"
+WS_SQL = r"[ \t\n\r\f\x0B]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# documents text stats — shared Column/SQL fragments (kept in lockstep)
+# ---------------------------------------------------------------------------
+
+_EN_MARKERS = ["the", "and", "of"]
+
+
+def _norm_col(c):
+    return F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), WS, " "))
+
+
+def _n_tokens_col(norm):
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+
+
+def _stop_hits_col(norm):
+    padded = F.concat(F.lit(" "), F.lower(norm), F.lit(" "))
+    total = F.lit(0)
+    for w in _EN_MARKERS:
+        total = total + F.size(F.split(padded, f" {w} ", -1)) - 1
+    return total
+
+
+def _mwl_col(norm, n_tokens):
+    tok_chars = F.length(F.regexp_replace(norm, " ", ""))
+    return F.when(n_tokens == 0, F.lit(0.0)).otherwise(tok_chars / n_tokens)
+
+
+_DOC_STATS_SQL = f"""
+  SELECT doc_id, lang,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM documents
+""".strip()
+
+_DOC_FEATURES_SQL = """
+  SELECT doc_id, lang,
+         CASE WHEN length(norm) = 0 THEN 0
+              ELSE len(string_split(norm, ' ')) END AS n_tokens,
+         len(string_split(' ' || lower(norm) || ' ', ' the ')) - 1
+           + len(string_split(' ' || lower(norm) || ' ', ' and ')) - 1
+           + len(string_split(' ' || lower(norm) || ' ', ' of ')) - 1 AS stop_hits,
+         CASE WHEN (CASE WHEN length(norm) = 0 THEN 0
+                         ELSE len(string_split(norm, ' ')) END) = 0 THEN 0.0
+              ELSE length(replace(norm, ' ', ''))
+                   / (CASE WHEN length(norm) = 0 THEN 0
+                           ELSE len(string_split(norm, ' ')) END) END AS mean_word_len
+  FROM stats
+""".strip()
+
+# Declarative rule registry for the documents demo verdict — the same
+# rules-as-data shape as operators.rules (reference valuesets,
+# data_curation_base.sas:3093-3105) but restricted to SQL-expressible
+# features so the DuckDB oracle replays it exactly.
+DOC_RULES: list[tuple[str, str]] = [
+    ("min_doc_tokens", "n_tokens < 30"),
+    ("no_stopwords", "stop_hits < 1"),
+    ("lang_not_en", "coalesce(lang, '') <> 'en'"),
+    ("mean_word_len", "mean_word_len < 2.0 OR mean_word_len > 8.0"),
+]
+
+
+def _doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        _norm_col(F.col("text")).alias("norm"),
+    )
+    n_tokens = _n_tokens_col(F.col("norm"))
+    return feats.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        _stop_hits_col(F.col("norm")).alias("stop_hits"),
+        _mwl_col(F.col("norm"), n_tokens).alias("mean_word_len"),
+    )
+
+
+def _doc_flags(feats: DataFrame) -> DataFrame:
+    exprs = [F.expr(cond).alias(f"flag_{rid}") for rid, cond in DOC_RULES]
+    return feats.select("*", *exprs)
+
+
+# ===========================================================================
+# query builders
+# ===========================================================================
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary (groupBy agg; decimal-exact sums).
+    SURVEY §2.4 group-by aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2001-09-01"))
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    # cast each FACTOR to decimal before multiplying: casting the double
+    # product rounds per-row and Spark/DuckDB round doubles differently;
+    # decimal × decimal is exact in both engines
+    disc_price = dec(F.col("l_extendedprice")) * dec(1 - F.col("l_discount"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out.withColumn(
+        "avg_qty", F.col("sum_qty") / F.col("count_order")
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+SQL_PRICING_SUMMARY = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT *, sum_qty / count_order AS avg_qty FROM a
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tag_profile_orders(spark, sf_dir):
+    """%tag conformance profile over orders (SURVEY §2.4 %tag)."""
+    orders = _t(spark, sf_dir, "orders")
+    return tag_profile(
+        orders,
+        ["o_orderstatus", "o_custkey", "o_orderpriority"],
+        dataset="orders",
+        valid_exprs={
+            "o_orderstatus": F.col("o_orderstatus").rlike("^[OFP]$"),
+            "o_custkey": (F.col("o_custkey") >= 0) & (F.col("o_custkey") < 100000),
+        },
+    )
+
+
+SQL_TAG_PROFILE_ORDERS = """
+SELECT 'orders' AS dataset, 'o_orderstatus' AS tag,
+       COUNT(o_orderstatus) AS all_n,
+       COUNT(DISTINCT o_orderstatus) AS distinct_n,
+       COUNT(*) FILTER (o_orderstatus IS NULL) AS null_n,
+       COUNT(*) FILTER (regexp_matches(o_orderstatus, '^[OFP]$')) AS valid_n,
+       COUNT(DISTINCT CASE WHEN regexp_matches(o_orderstatus, '^[OFP]$')
+                           THEN o_orderstatus END) AS valid_distinct_n
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey',
+       COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       COUNT(*) FILTER (o_custkey IS NULL),
+       COUNT(*) FILTER (o_custkey >= 0 AND o_custkey < 100000),
+       COUNT(DISTINCT CASE WHEN o_custkey >= 0 AND o_custkey < 100000
+                           THEN o_custkey END)
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_orderpriority',
+       COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       COUNT(*) FILTER (o_orderpriority IS NULL),
+       COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority)
+FROM orders
+"""
+
+
+def q_npct_returnflag(spark, sf_dir):
+    """%n_pct with valueset super-population + NULL/overflow rows
+    (SURVEY §2.4 %n_pct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return n_pct(li, "l_returnflag", ["A", "N", "R"], distinct_col="l_orderkey")
+
+
+SQL_NPCT_RETURNFLAG = """
+WITH domain AS (
+  SELECT * FROM (VALUES ('A', 0), ('N', 1), ('R', 2),
+                        ('NULL or missing', 3),
+                        ('Values outside of CDM specifications', 4))
+           AS t(category, ord)
+),
+c AS (
+  SELECT CASE WHEN l_returnflag IS NULL THEN 'NULL or missing'
+              WHEN l_returnflag IN ('A','N','R') THEN l_returnflag
+              ELSE 'Values outside of CDM specifications' END AS category,
+         COUNT(*) AS record_n,
+         COUNT(DISTINCT l_orderkey) AS distinct_n
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT d.category, d.ord,
+         COALESCE(c.record_n, 0) AS record_n,
+         COALESCE(c.distinct_n, 0) AS distinct_n
+  FROM domain d LEFT JOIN c USING (category)
+)
+SELECT category, ord, record_n,
+       CASE WHEN SUM(record_n) OVER () > 0
+            THEN FLOOR(record_n * 10000.0 / SUM(record_n) OVER ()) / 100.0
+            ELSE 0.0 END AS record_pct,
+       distinct_n
+FROM j ORDER BY ord
+"""
+
+
+def q_npct_noref_event_type(spark, sf_dir):
+    """%n_pct_noref observed-domain frequency + forced NULL row
+    (SURVEY §2.4 %n_pct_noref)."""
+    ev = _t(spark, sf_dir, "events")
+    return n_pct_noref(ev, "event_type", distinct_col="user_id")
+
+
+SQL_NPCT_NOREF_EVENT_TYPE = """
+WITH c AS (
+  SELECT COALESCE(event_type, 'NULL or missing') AS category,
+         COUNT(*) AS record_n,
+         COUNT(DISTINCT user_id) AS distinct_n
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT category, record_n, distinct_n FROM c
+  UNION ALL
+  SELECT 'NULL or missing', 0, 0
+  WHERE NOT EXISTS (SELECT 1 FROM c WHERE category = 'NULL or missing')
+)
+SELECT category, record_n, distinct_n,
+       CASE WHEN SUM(record_n) OVER () > 0
+            THEN FLOOR(record_n * 10000.0 / SUM(record_n) OVER ()) / 100.0
+            ELSE 0.0 END AS record_pct
+FROM f
+"""
+
+
+def q_cont_stats_quantity(spark, sf_dir):
+    """%t_cont per-group continuous stats with EXACT percentiles
+    (SURVEY §2.4 %cont/%t_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return cont_stats(li, "l_quantity", group=["l_returnflag"])
+
+
+SQL_CONT_STATS_QUANTITY = """
+SELECT l_returnflag,
+       COUNT(l_quantity) AS n,
+       COUNT(*) FILTER (l_quantity IS NULL) AS nmiss,
+       MIN(l_quantity) AS min,
+       AVG(l_quantity) AS mean,
+       MAX(l_quantity) AS max,
+       quantile_cont(l_quantity, 0.05) AS p05,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_minmax_events_ts(spark, sf_dir):
+    """%minmax date/timestamp profile (SURVEY §2.4 %minmax)."""
+    ev = _t(spark, sf_dir, "events")
+    return minmax_profile(ev, "ts", future_after="2024-02-01")
+
+
+SQL_MINMAX_EVENTS_TS = """
+SELECT 'ts' AS variable,
+       COUNT(ts) AS n,
+       COUNT(*) FILTER (ts IS NULL) AS nmiss,
+       strftime(MIN(ts), '%Y_%m') AS min_ym,
+       strftime(MAX(ts), '%Y_%m') AS max_ym,
+       COALESCE(SUM(CASE WHEN ts < TIMESTAMP '1900-01-01' THEN 1 ELSE 0 END), 0) AS implausible_n,
+       COALESCE(SUM(CASE WHEN ts > TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END), 0) AS future_n
+FROM events
+"""
+
+
+def q_ym_dense_fill_orders(spark, sf_dir):
+    """Dense year-month fill over monthly order counts (SURVEY §2.4
+    dense YM fill, data_curation_base.sas:1699-1785)."""
+    orders = _t(spark, sf_dir, "orders")
+    ym = (
+        orders.select(F.date_format("o_orderdate", "yyyy_MM").alias("ym"))
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("record_n"))
+    )
+    return ym_dense_fill(ym)
+
+
+SQL_YM_DENSE_FILL_ORDERS = """
+WITH c AS (
+  SELECT strftime(o_orderdate, '%Y_%m') AS ym, COUNT(*) AS record_n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+b AS (
+  SELECT MIN(strptime(ym || '_01', '%Y_%m_%d')) AS mn,
+         MAX(strptime(ym || '_01', '%Y_%m_%d')) AS mx
+  FROM c
+),
+m AS (
+  SELECT strftime(UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)), '%Y_%m') AS ym
+  FROM b
+)
+SELECT m.ym, COALESCE(c.record_n, 0) AS record_n
+FROM m LEFT JOIN c USING (ym) ORDER BY ym
+"""
+
+
+def q_crosstab_orders(spark, sf_dir):
+    """%n_pct_multilev 2-level crosstab, observed domain (SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return crosstab(
+        orders, ["o_orderstatus", "o_orderpriority"], distinct_col="o_custkey"
+    )
+
+
+SQL_CROSSTAB_ORDERS = """
+WITH c AS (
+  SELECT COALESCE(o_orderstatus, 'NULL or missing') AS o_orderstatus,
+         COALESCE(o_orderpriority, 'NULL or missing') AS o_orderpriority,
+         COUNT(*) AS record_n,
+         COUNT(DISTINCT o_custkey) AS distinct_n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority, record_n, distinct_n,
+       CASE WHEN SUM(record_n) OVER () > 0
+            THEN FLOOR(record_n * 10000.0 / SUM(record_n) OVER ()) / 100.0
+            ELSE 0.0 END AS record_pct
+FROM c
+"""
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    """3-way equi-join with broadcast dimension (SURVEY §2.3): revenue
+    per nation, decimal-exact sums. nation is tiny → broadcast()."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_semi_customers_with_orders(spark, sf_dir):
+    """left_semi join (SURVEY §2.3 intersection idiom): customers having
+    any order, counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.join(orders, "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_SEMI_CUSTOMERS_WITH_ORDERS = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_anti_orphan_events(spark, sf_dir):
+    """left_anti join (SURVEY §2.3 orphan-key checks,
+    data_curation_tables.sas:2289-2320): events whose user is outside
+    the premium customer segment."""
+    ev = _t(spark, sf_dir, "events")
+    premium = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") >= 5000.0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return (
+        ev.join(premium, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("orphan_events"),
+            F.countDistinct("user_id").alias("orphan_users"),
+        )
+    )
+
+
+SQL_ANTI_ORPHAN_EVENTS = """
+SELECT event_type, COUNT(*) AS orphan_events,
+       COUNT(DISTINCT user_id) AS orphan_users
+FROM events
+WHERE NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_acctbal >= 5000.0 AND c_custkey = user_id)
+GROUP BY event_type
+"""
+
+
+def q_window_latest_event(spark, sf_dir):
+    """Ranking window (SURVEY §2.5): latest event per user,
+    deterministic tie-break on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_WINDOW_LATEST_EVENT = """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_topn_sources(spark, sf_dir):
+    """Top-N by frequency with deterministic tie-break (SURVEY §2.6
+    print-limit idiom, data_curation_base.sas:2790-2830). Compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("record_n"))
+        .orderBy(F.col("record_n").desc(), F.col("source"))
+        .limit(10)
+    )
+
+
+SQL_TOPN_SOURCES = """
+SELECT source, COUNT(*) AS record_n
+FROM documents GROUP BY source
+ORDER BY record_n DESC, source LIMIT 10
+"""
+
+
+def q_union_provenance(spark, sf_dir):
+    """UNION ALL with provenance flags (SURVEY §2.7,
+    data_curation_tables.sas:2184-2198)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.lit("error_stream").alias("provenance")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("purchase_stream").alias("provenance")
+    )
+    return errors.unionByName(purchases)
+
+
+SQL_UNION_PROVENANCE = """
+SELECT event_id, user_id, 'error_stream' AS provenance
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, user_id, 'purchase_stream' AS provenance
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+_DASH_RUN = "2024-01-31"
+_DASH_WINDOWS = [("last_7d", "2024-01-24"), ("last_14d", "2024-01-17"), ("last_30d", "2024-01-01")]
+
+
+def q_dash_window_counts(spark, sf_dir):
+    """%dash-style UDTF fan-out (SURVEY §2.2 DASH classification,
+    data_curation_base.sas:2868-2891): one row explodes into its
+    overlapping trailing windows, then per-window counts."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts") <= F.lit(_DASH_RUN).cast("timestamp"))
+    entries = F.array(
+        *[
+            F.when(F.col("ts") >= F.lit(start).cast("timestamp"), F.lit(name))
+            for name, start in _DASH_WINDOWS
+        ]
+    )
+    arr = F.filter(entries, lambda x: x.isNotNull())
+    return (
+        ev.select("user_id", F.explode(arr).alias("window"))
+        .groupBy("window")
+        .agg(
+            F.count(F.lit(1)).alias("record_n"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+    )
+
+
+SQL_DASH_WINDOW_COUNTS = " UNION ALL ".join(
+    f"""
+SELECT '{name}' AS window, COUNT(*) AS record_n,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events
+WHERE ts <= TIMESTAMP '{_DASH_RUN}' AND ts >= TIMESTAMP '{start}'
+HAVING COUNT(*) > 0
+"""
+    for name, start in _DASH_WINDOWS
+)
+
+
+# --- dedup family -----------------------------------------------------------
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ re-keyed copy of every 10th doc — a deterministic
+    duplicate injection so dedup operators have real work (the driver
+    table itself has no duplicate texts)."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return docs.unionByName(dups)
+
+
+_DOCS_WITH_DUPS_SQL = """
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+""".strip()
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash, deterministic survivor (SURVEY
+    driver brief: exact hash-groupBy dedup)."""
+    return exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH d AS ({_DOCS_WITH_DUPS_SQL})
+SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text
+"""
+
+
+def q_duplicate_groups(spark, sf_dir):
+    """Duplicate-group stats (reference non-unique-key detection,
+    data_curation_tables.sas:2659-2726)."""
+    return duplicate_groups(_docs_with_dups(spark, sf_dir)).select("n_docs", "min_id")
+
+
+SQL_DUPLICATE_GROUPS = f"""
+WITH d AS ({_DOCS_WITH_DUPS_SQL})
+SELECT COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM d GROUP BY text HAVING COUNT(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs via shingle-keyed
+    equi-join (SQL-expressible dedup path)."""
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), k=3, threshold=0.8
+    ).select("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '{WS_SQL}', ' ', 'g')), ' ') AS t
+  FROM d WHERE text IS NOT NULL AND trim(text) <> ''
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, len(shingles) AS set_size, UNNEST(shingles) AS shingle FROM sh
+),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.set_size AS size_a, r.set_size AS size_b,
+         COUNT(*) AS inter_n
+  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b FROM inter
+WHERE inter_n * 1.0 / (size_a + size_b - inter_n) >= 0.8
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (band bucket join). Hash family is
+    engine-specific → rows-only check."""
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.8).select(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash banded hamming near-dup pairs (rows-only check)."""
+    return simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3).select(
+        "id_a", "id_b"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Whitespace/case-normalized xxhash64 content fingerprints
+    (rows-only: hash function is Spark-specific)."""
+    return TA.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_token_stats(spark, sf_dir):
+    """Whitespace token / char counts, pure Column algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.with_token_stats(docs).select("doc_id", "n_chars_sql", "n_tokens_sql")
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id, length(text) AS n_chars_sql,
+       CASE WHEN length(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g'))) = 0 THEN 0
+            ELSE len(string_split(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g')), ' '))
+       END AS n_tokens_sql
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite quality score (length/punct/stopword bands)."""
+    return TA.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_langid_heuristic(spark, sf_dir):
+    """Stopword-marker language vote (en/de/fr/es), JVM-side."""
+    return TA.langid_heuristic(_t(spark, sf_dir, "documents"))
+
+
+def _marker_hits_sql(lang: str, words: list[str]) -> str:
+    terms = " + ".join(
+        f"len(string_split(' ' || regexp_replace(lower(coalesce(text,'')), '{WS_SQL}', ' ', 'g') || ' ', ' {w} ')) - 1"
+        for w in words
+    )
+    return f"({terms}) AS hits_{lang}"
+
+
+_TA_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "los", "que"],
+}
+
+SQL_LANGID_HEURISTIC = f"""
+WITH h AS (
+  SELECT doc_id,
+         {', '.join(_marker_hits_sql(lang, ws) for lang, ws in _TA_MARKERS.items())}
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'und'
+            WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            ELSE 'es' END AS lang_guess
+FROM h
+"""
+
+_QS_NORM = f"regexp_replace(lower(c), '{WS_SQL}', ' ', 'g')"
+SQL_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '') AS c,
+         CASE WHEN length(trim(regexp_replace(coalesce(text,''), '{WS_SQL}', ' ', 'g'))) = 0 THEN 0.0
+              ELSE len(string_split(trim(regexp_replace(coalesce(text,''), '{WS_SQL}', ' ', 'g')), ' '))
+         END AS n_tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tok,
+         CAST(length(c) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(c, '.')) - 1
+              + len(string_split(c, '!')) - 1
+              + len(string_split(c, '?')) - 1 AS DOUBLE) AS sent_marks,
+         CAST(len(string_split(' ' || {_QS_NORM} || ' ', ' the ')) - 1
+              + len(string_split(' ' || {_QS_NORM} || ' ', ' and ')) - 1
+              + len(string_split(' ' || {_QS_NORM} || ' ', ' of ')) - 1 AS DOUBLE) AS stop_hits
+  FROM s
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       (LEAST(n_tok / 100.0, 1.0)
+        + LEAST(sent_marks / GREATEST(n_tok / 20.0, 1.0), 1.0)
+        + LEAST(stop_hits / GREATEST(n_tok / 10.0, 1.0), 1.0)) / 3.0 AS quality
+FROM m
+"""
+
+
+def q_scrub_email(spark, sf_dir):
+    """Email-PII scrub with a DuckDB-replayable (RE2-safe) pattern; the
+    full lookaround chain is byte-identity-tested against the Python
+    `re` oracle in pytest (tests/test_scrub.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    return docs.select(
+        "doc_id", F.regexp_replace(F.col("text"), pat, "<EMAIL>").alias("scrubbed_text")
+    )
+
+
+SQL_SCRUB_EMAIL = r"""
+SELECT doc_id,
+       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                      '<EMAIL>', 'g') AS scrubbed_text
+FROM documents
+"""
+
+
+def q_scrub_full(spark, sf_dir):
+    """Full ordered PII/toxicity scrub chain (rows-only: Java lookarounds
+    are outside RE2; byte-identity is pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", scrub_column(F.col("text")).alias("scrubbed_text"))
+
+
+# --- rule engine + verdict (flagship) ---------------------------------------
+
+
+def q_rule_flags_summary(spark, sf_dir):
+    """Rule-level fail counts over documents (reference code_summary
+    shape, potential_code_errors.sas:1294-1335): one agg pass, flags
+    unpivoted with stack."""
+    flagged = _doc_flags(_doc_features(spark, sf_dir))
+    aggs = [F.count(F.lit(1)).alias("records")] + [
+        F.sum(F.col(f"flag_{rid}").cast("long")).alias(f"flag_{rid}")
+        for rid, _ in DOC_RULES
+    ]
+    wide = flagged.agg(*aggs)
+    stack_args = ", ".join(f"'{rid}', `flag_{rid}`" for rid, _ in DOC_RULES)
+    out = wide.selectExpr(
+        "records",
+        f"stack({len(DOC_RULES)}, {stack_args}) as (rule_id, fail_n)",
+    )
+    return out.select(
+        "rule_id",
+        "fail_n",
+        F.when(
+            F.col("records") > 0,
+            F.floor(F.col("fail_n") * 10000.0 / F.col("records")) / 100.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fail_pct"),
+    )
+
+
+def _sql_doc_flags() -> str:
+    flag_cols = ",\n         ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS flag_{rid}" for rid, cond in DOC_RULES
+    )
+    return f"""
+WITH stats AS ({_DOC_STATS_SQL}),
+feats AS ({_DOC_FEATURES_SQL}),
+flags AS (
+  SELECT doc_id, lang, n_tokens, stop_hits, mean_word_len,
+         {flag_cols}
+  FROM feats
+)
+""".strip()
+
+
+SQL_RULE_FLAGS_SUMMARY = (
+    _sql_doc_flags()
+    + "\n"
+    + " UNION ALL ".join(
+        f"""
+SELECT '{rid}' AS rule_id, SUM(flag_{rid}) AS fail_n,
+       CASE WHEN COUNT(*) > 0
+            THEN FLOOR(SUM(flag_{rid}) * 10000.0 / COUNT(*)) / 100.0
+            ELSE 0.0 END AS fail_pct
+FROM flags
+"""
+        for rid, _ in DOC_RULES
+    )
+)
+
+
+def q_verdict_documents(spark, sf_dir):
+    """FLAGSHIP: per-document keep/drop verdict from the declarative
+    rule registry (reference `if max(flags)=1 then output`,
+    potential_code_errors.sas:343) — keep = no drop rule fired."""
+    flagged = _doc_flags(_doc_features(spark, sf_dir))
+    any_flag = F.greatest(*[F.col(f"flag_{rid}") for rid, _ in DOC_RULES])
+    return flagged.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        *[F.col(f"flag_{rid}").cast("int").alias(f"flag_{rid}") for rid, _ in DOC_RULES],
+        (~any_flag).cast("int").alias("keep"),
+    )
+
+
+SQL_VERDICT_DOCUMENTS = (
+    _sql_doc_flags()
+    + f"""
+SELECT doc_id, n_tokens, stop_hits,
+       {', '.join(f'flag_{rid}' for rid, _ in DOC_RULES)},
+       CASE WHEN GREATEST({', '.join(f'flag_{rid}' for rid, _ in DOC_RULES)}) = 1
+            THEN 0 ELSE 1 END AS keep
+FROM flags
+"""
+)
+
+
+def q_violations_documents(spark, sf_dir):
+    """Long-format (doc_id, rule_id) violations — the reference's bad_*
+    record sets (potential_code_errors.sas:320-344) via one explode."""
+    flagged = _doc_flags(_doc_features(spark, sf_dir))
+    entries = [
+        F.when(F.col(f"flag_{rid}"), F.lit(rid)) for rid, _ in DOC_RULES
+    ]
+    arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return flagged.select("doc_id", F.explode(arr).alias("rule_id"))
+
+
+SQL_VIOLATIONS_DOCUMENTS = (
+    _sql_doc_flags()
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT doc_id, '{rid}' AS rule_id FROM flags WHERE flag_{rid} = 1"
+        for rid, _ in DOC_RULES
+    )
+)
+
+
+# --- similarity search ------------------------------------------------------
+
+_QUERY_VEC = [1.0] * 64  # fixed probe: cosine vs the all-ones direction
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k over array<float> embeddings (exact ANN
+    baseline; JVM fold, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _QUERY_VEC, k=20)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH s AS (
+  SELECT vec_id,
+         list_reduce([CAST(x AS DOUBLE) * 1.0 for x in embedding],
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding],
+                             (a, b) -> a + b)) * 8.0) AS cosine
+  FROM embeddings
+)
+SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 20
+"""
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Exact cosine near-duplicate pairs (threshold join). Pairs-only
+    output keeps the oracle float-order-proof."""
+    from pcornet_data_curation_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.95).select("id_a", "id_b")
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b
+FROM v l JOIN v r ON l.vec_id < r.vec_id
+WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(l.e, y -> y * y), (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform(r.e, y -> y * y), (a, b) -> a + b))) >= 0.95
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-k (multi-probe; rows-only —
+    bucket hash family is engine-specific)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _QUERY_VEC, k=20, n_planes=8, max_hamming=8)
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+# name -> (builder, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "tag_profile_orders": (q_tag_profile_orders, SQL_TAG_PROFILE_ORDERS),
+    "npct_returnflag": (q_npct_returnflag, SQL_NPCT_RETURNFLAG),
+    "npct_noref_event_type": (q_npct_noref_event_type, SQL_NPCT_NOREF_EVENT_TYPE),
+    "cont_stats_quantity": (q_cont_stats_quantity, SQL_CONT_STATS_QUANTITY),
+    "minmax_events_ts": (q_minmax_events_ts, SQL_MINMAX_EVENTS_TS),
+    "ym_dense_fill_orders": (q_ym_dense_fill_orders, SQL_YM_DENSE_FILL_ORDERS),
+    "crosstab_orders": (q_crosstab_orders, SQL_CROSSTAB_ORDERS),
+    "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
+    "semi_customers_with_orders": (
+        q_semi_customers_with_orders,
+        SQL_SEMI_CUSTOMERS_WITH_ORDERS,
+    ),
+    "anti_orphan_events": (q_anti_orphan_events, SQL_ANTI_ORPHAN_EVENTS),
+    "window_latest_event": (q_window_latest_event, SQL_WINDOW_LATEST_EVENT),
+    "topn_sources": (q_topn_sources, SQL_TOPN_SOURCES),
+    "union_provenance": (q_union_provenance, SQL_UNION_PROVENANCE),
+    "dash_window_counts": (q_dash_window_counts, SQL_DASH_WINDOW_COUNTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "duplicate_groups": (q_duplicate_groups, SQL_DUPLICATE_GROUPS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh_pairs": (q_minhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "fingerprint": (q_fingerprint, None),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
+    "scrub_email": (q_scrub_email, SQL_SCRUB_EMAIL),
+    "scrub_full": (q_scrub_full, None),
+    "rule_flags_summary": (q_rule_flags_summary, SQL_RULE_FLAGS_SUMMARY),
+    "verdict_documents": (q_verdict_documents, SQL_VERDICT_DOCUMENTS),
+    "violations_documents": (q_violations_documents, SQL_VIOLATIONS_DOCUMENTS),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "lsh_topk": (q_lsh_topk, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
