@@ -8,6 +8,8 @@ deterministic across executors.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 from pcornet_data_curation_spark.functions.textcore import tokenize
@@ -28,12 +30,14 @@ def _splitmix64_int(x: int) -> int:
 
 
 def hash64_str(s: str, seed: int = 0) -> int:
-    """Deterministic 64-bit string hash (FNV-1a core + splitmix finalize).
-    NOT Spark's xxhash64 — used only where both sides share this code."""
-    h = (0xCBF29CE484222325 ^ seed) & MASK64
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & MASK64
-    return _splitmix64_int(h)
+    """Deterministic 64-bit string hash: two independent CRC32 streams
+    (zlib, C speed — the per-byte Python FNV loop was the minhash hot
+    path) combined and splitmix-finalized. NOT Spark's xxhash64 — used
+    only where both sides share this code."""
+    b = s.encode("utf-8")
+    lo = zlib.crc32(b, seed & 0xFFFFFFFF)
+    hi = zlib.crc32(b, (seed ^ 0x9E3779B9) & 0xFFFFFFFF)
+    return _splitmix64_int(((hi << 32) | lo) & MASK64)
 
 
 def word_shingles(text: str | None, k: int = 3) -> list[str]:
@@ -73,15 +77,14 @@ _MINHASH_CACHE: dict = {}
 
 
 def simhash64(text: str | None) -> int:
-    """64-bit SimHash over unigram token hashes (unit weights)."""
+    """64-bit SimHash over unigram token hashes (unit weights).
+    Vectorized: one (n_tokens × 64) bit matrix, no per-token loop."""
     toks = [t.lower() for t in tokenize(text or "")]
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = hash64_str(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    hv = np.array([hash64_str(t) for t in toks], dtype=np.uint64)
+    bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

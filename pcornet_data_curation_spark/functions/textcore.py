@@ -41,6 +41,7 @@ TERMINAL_PUNCT = (".", "!", "?", '"', "'")
 
 # Gopher-style English stop words (count-based rule) — fixed, ordered.
 STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_STOP_SET = frozenset(STOP_WORDS)
 
 # C4-style blocklist phrases (lowercase substring match).
 C4_BAD_PHRASES = ("lorem ipsum",)
@@ -128,57 +129,57 @@ _LANG_SEEDS: dict[str, str] = {
 
 _NONLETTER_RE = re.compile(r"[^a-z ]+")
 
+# 27-symbol alphabet [a-z ] → trigram id space 27^3; byte → symbol LUT
+# lets the whole count run in numpy (frombuffer + bincount) instead of
+# a per-character Python loop — the former doc_stats hot spot.
+_TRI_DIM = 27**3
+_TRI_LUT = np.full(256, 26, dtype=np.int64)  # 26 = space bucket
+for _i, _ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+    _TRI_LUT[ord(_ch)] = _i
 
-def _trigram_counts(text: str) -> dict[str, int]:
+
+def _trigram_vector(text: str) -> np.ndarray | None:
+    """Dense 27^3 trigram count vector of the normalized text (None if
+    too short to hold one trigram). After _NONLETTER_RE the string is
+    pure ASCII [a-z ], so byte == character."""
     s = " " + _NONLETTER_RE.sub(" ", text.lower()) + " "
     s = WS_RE.sub(" ", s)
-    out: dict[str, int] = {}
-    for i in range(len(s) - 2):
-        g = s[i : i + 3]
-        out[g] = out.get(g, 0) + 1
-    return out
+    if len(s) < 3:
+        return None
+    ids = _TRI_LUT[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
+    tri = (ids[:-2] * 27 + ids[1:-1]) * 27 + ids[2:]
+    return np.bincount(tri, minlength=_TRI_DIM).astype(np.float64)
 
 
-def _build_profiles() -> tuple[list[str], dict[str, int], np.ndarray]:
-    """(languages, trigram->index, L2-normalized profile matrix)."""
+def _build_profiles() -> tuple[list[str], np.ndarray, np.ndarray]:
+    """(languages, known-trigram mask, L2-normalized profile matrix) in
+    the dense 27^3 space."""
     langs = sorted(_LANG_SEEDS)
-    vocab: dict[str, int] = {}
-    raw: list[dict[str, int]] = []
-    for lang in langs:
-        c = _trigram_counts(_LANG_SEEDS[lang])
-        raw.append(c)
-        for g in sorted(c):
-            if g not in vocab:
-                vocab[g] = len(vocab)
-    mat = np.zeros((len(langs), len(vocab)), dtype=np.float64)
-    for i, c in enumerate(raw):
-        for g, n in c.items():
-            mat[i, vocab[g]] = float(n)
-        norm = math.sqrt(float((mat[i] ** 2).sum()))
-        if norm > 0:
-            mat[i] /= norm
-    return langs, vocab, mat
+    mat = np.zeros((len(langs), _TRI_DIM), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        vec = _trigram_vector(_LANG_SEEDS[lang])
+        assert vec is not None
+        norm = math.sqrt(float((vec**2).sum()))
+        mat[i] = vec / norm if norm > 0 else vec
+    known = (mat.sum(axis=0) > 0).astype(np.float64)
+    return langs, known, mat
 
 
-LANGID_LANGS, _LANGID_VOCAB, _LANGID_MAT = _build_profiles()
+LANGID_LANGS, _LANGID_KNOWN, _LANGID_MAT = _build_profiles()
 
 
 def langid_scores(text: str) -> tuple[str, float]:
     """(predicted language, confidence in [0,1]).
 
     Confidence = top cosine softmax-normalized over languages; 'und'
-    with confidence 0.0 when the doc has no known trigram.
+    with confidence 0.0 when the doc has no known trigram. The doc
+    vector is masked to seed-known trigrams before normalization (same
+    cosine as the sparse-vocab formulation).
     """
-    counts = _trigram_counts(text) if text else {}
-    if not counts:
+    vec = _trigram_vector(text) if text else None
+    if vec is None:
         return "und", 0.0
-    vec = np.zeros(_LANGID_MAT.shape[1], dtype=np.float64)
-    known = 0
-    for g, n in counts.items():
-        j = _LANGID_VOCAB.get(g)
-        if j is not None:
-            vec[j] = float(n)
-            known += n
+    vec *= _LANGID_KNOWN
     norm = math.sqrt(float((vec**2).sum()))
     if norm == 0.0:
         return "und", 0.0
@@ -197,6 +198,13 @@ def langid_scores(text: str) -> tuple[str, float]:
 
 _PPL_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 _PPL_INDEX = {c: i for i, c in enumerate(_PPL_ALPHABET)}
+# byte → alphabet index (-1 = out of alphabet). Operating on UTF-8
+# bytes instead of characters is pair-equivalent: a valid (both-in-
+# alphabet) pair is ASCII-adjacent in both views, multi-byte chars only
+# widen the already-invalid gaps.
+_PPL_LUT = np.full(256, -1, dtype=np.int64)
+for _i, _ch in enumerate(_PPL_ALPHABET):
+    _PPL_LUT[ord(_ch)] = _i
 
 
 def _build_bigram_logprobs() -> np.ndarray:
@@ -224,7 +232,7 @@ def perplexity(text: str) -> float:
     if not text:
         return float(math.exp(-_PPL_OOV_LOGPROB))
     s = WS_RE.sub(" ", text.lower())
-    idx = np.fromiter((_PPL_INDEX.get(c, -1) for c in s), dtype=np.int64, count=len(s))
+    idx = _PPL_LUT[np.frombuffer(s.encode("utf-8"), dtype=np.uint8)]
     if len(idx) < 2:
         return float(math.exp(-_PPL_OOV_LOGPROB))
     a, b = idx[:-1], idx[1:]
@@ -280,7 +288,7 @@ def top_ngram_char_frac(tokens: list[str], n: int) -> float:
     for i in range(len(tokens) - n + 1):
         g = tuple(tokens[i : i + n])
         grams[g] = grams.get(g, 0) + 1
-    top = max(sorted(grams), key=lambda g: (grams[g], g))
+    top = max(grams, key=lambda g: (grams[g], g))
     if grams[top] <= 1:
         return 0.0
     total = sum(len(t) for t in tokens)
@@ -334,10 +342,7 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
         bullets = sum(1 for ln in stripped if ln.startswith(BULLET_PREFIXES))
         ellipses = sum(1 for ln in stripped if ln.endswith(ELLIPSIS_SUFFIXES))
         low = text.lower()
-        stop_n = 0
-        low_tokens = [t.lower() for t in tokens]
-        for w in STOP_WORDS:
-            stop_n += sum(1 for t in low_tokens if t == w)
+        stop_n = sum(1 for t in tokens if t.lower() in _STOP_SET)
         sentences = sum(text.count(p) for p in (".", "!", "?"))
         lang, conf = langid_scores(text)
         out["n_chars"].append(len(text))

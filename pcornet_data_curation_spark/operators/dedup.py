@@ -290,8 +290,17 @@ def embedding_dup_pairs(
     / verification). n_planes>0: sign-LSH bucketing first (scale path):
     only pairs agreeing on all plane signs are compared, trading recall
     for a bucket-keyed equi-join.
+
+    Vectors are L2-normalized BEFORE the pair join, so the quadratic
+    stage evaluates one dot-product fold per pair instead of three
+    (dot + two norms) — same cosine values: cos = (a/|a|)·(b/|b|), and
+    the division-by-norm is exact-order-identical to dividing the dot.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    base = base.withColumn("_n", nrm).select(
+        "_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
     if n_planes > 0:
         import numpy as np
 
@@ -318,10 +327,13 @@ def embedding_dup_pairs(
     else:
         join_cond = F.col("l._id") < F.col("r._id")
     l, r = base.alias("l"), base.alias("r")
+    dot = F.aggregate(
+        F.zip_with("l.v", "r.v", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
     pairs = l.join(r, join_cond).select(
         F.col("l._id").alias("id_a"),
         F.col("r._id").alias("id_b"),
-        _cosine_expr("l.v", "r.v").alias("cosine"),
+        dot.alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")

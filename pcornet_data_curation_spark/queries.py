@@ -377,6 +377,53 @@ FROM c
 """
 
 
+_CT_STATUS = ["O", "F", "P"]
+_CT_PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_crosstab_orders_domains(spark, sf_dir):
+    """%n_pct_multilev with completetypes: the output is super-populated
+    over the FULL domain cross-product (plus NULL rows), zero-filled —
+    the reference's dummy-path invariant (SURVEY §2.4,
+    data_curation_base.sas:1315-2233)."""
+    orders = _t(spark, sf_dir, "orders")
+    return crosstab(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        domains={"o_orderstatus": _CT_STATUS, "o_orderpriority": _CT_PRIO},
+        distinct_col="o_custkey",
+    )
+
+
+def _values_list(vals):
+    return ", ".join(f"('{v}')" for v in vals + ["NULL or missing"])
+
+
+SQL_CROSSTAB_ORDERS_DOMAINS = f"""
+WITH d1(o_orderstatus) AS (VALUES {_values_list(_CT_STATUS)}),
+d2(o_orderpriority) AS (VALUES {_values_list(_CT_PRIO)}),
+domain AS (SELECT * FROM d1 CROSS JOIN d2),
+c AS (
+  SELECT COALESCE(o_orderstatus, 'NULL or missing') AS o_orderstatus,
+         COALESCE(o_orderpriority, 'NULL or missing') AS o_orderpriority,
+         COUNT(*) AS record_n,
+         COUNT(DISTINCT o_custkey) AS distinct_n
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT domain.o_orderstatus, domain.o_orderpriority,
+         COALESCE(c.record_n, 0) AS record_n,
+         COALESCE(c.distinct_n, 0) AS distinct_n
+  FROM domain LEFT JOIN c USING (o_orderstatus, o_orderpriority)
+)
+SELECT o_orderstatus, o_orderpriority, record_n, distinct_n,
+       CASE WHEN SUM(record_n) OVER () > 0
+            THEN FLOOR(record_n * 10000.0 / SUM(record_n) OVER ()) / 100.0
+            ELSE 0.0 END AS record_pct
+FROM j
+"""
+
+
 def q_join_revenue_by_nation(spark, sf_dir):
     """3-way equi-join with broadcast dimension (SURVEY §2.3): revenue
     per nation, decimal-exact sums. nation is tiny → broadcast()."""
@@ -565,6 +612,115 @@ HAVING COUNT(*) > 0
 """
     for name, start in _DASH_WINDOWS
 )
+
+
+def q_across_date_check(spark, sf_dir):
+    """%across-style cross-table date-tolerance check (SURVEY §2.3,
+    data_curation_tables.sas:2133-2175): per order, flag any lineitem
+    shipped more than 90 days after the order date; count flagged
+    orders per status (join + boolean agg max(cond) per key)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    per_order = j.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.max(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast(
+                "int"
+            )
+        ).alias("late")
+    )
+    return per_order.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("orders_n"),
+        F.sum("late").alias("late_orders_n"),
+    )
+
+
+SQL_ACROSS_DATE_CHECK = """
+WITH per_order AS (
+  SELECT o_orderkey, o_orderstatus,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderstatus
+)
+SELECT o_orderstatus, COUNT(*) AS orders_n, SUM(late) AS late_orders_n
+FROM per_order GROUP BY o_orderstatus
+"""
+
+
+def q_xmin_vs_orderdate(spark, sf_dir):
+    """%xmin-style group-min sanity check (SURVEY §2.3,
+    data_curation_tables.sas:1886-1924): min shipdate per order joined
+    back to the order, counting orders whose earliest shipment is >60
+    days after the order date."""
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("min_ship")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    return j.agg(
+        F.count(F.lit(1)).alias("orders_n"),
+        F.sum(
+            (F.col("min_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+                "long"
+            )
+        ).alias("slow_first_ship_n"),
+    )
+
+
+SQL_XMIN_VS_ORDERDATE = """
+WITH m AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS min_ship FROM lineitem GROUP BY 1
+)
+SELECT COUNT(*) AS orders_n,
+       SUM(CASE WHEN min_ship > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END) AS slow_first_ship_n
+FROM m JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+_ACCTBAL_BUCKETS = [
+    ("negative", None, 0.0),
+    ("0-2499", 0.0, 2500.0),
+    ("2500-4999", 2500.0, 5000.0),
+    ("5000-7499", 5000.0, 7500.0),
+    ("7500+", 7500.0, None),
+]
+
+
+def q_bucket_acctbal(spark, sf_dir):
+    """when-chain bucket classification + frequency (the reference's
+    age/LOS/BMI bucket idiom, SURVEY §2.2,
+    data_curation_tables.sas:4954-4986)."""
+    cust = _t(spark, sf_dir, "customer")
+    b = F.when(F.col("c_acctbal").isNull(), F.lit("NULL or missing"))
+    for name, lo, hi in _ACCTBAL_BUCKETS:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("c_acctbal") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("c_acctbal") < hi)
+        b = b.when(cond, F.lit(name))
+    return (
+        cust.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("record_n"))
+    )
+
+
+SQL_BUCKET_ACCTBAL = """
+SELECT CASE
+         WHEN c_acctbal IS NULL THEN 'NULL or missing'
+         WHEN c_acctbal < 0.0 THEN 'negative'
+         WHEN c_acctbal >= 0.0 AND c_acctbal < 2500.0 THEN '0-2499'
+         WHEN c_acctbal >= 2500.0 AND c_acctbal < 5000.0 THEN '2500-4999'
+         WHEN c_acctbal >= 5000.0 AND c_acctbal < 7500.0 THEN '5000-7499'
+         ELSE '7500+' END AS bucket,
+       COUNT(*) AS record_n
+FROM customer GROUP BY 1
+"""
 
 
 # --- dedup family -----------------------------------------------------------
@@ -932,15 +1088,21 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 
 SQL_EMBEDDING_DUP_PAIRS = """
-WITH v AS (
+WITH raw AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, y -> y * y), (a, b) -> a + b)) AS nrm
+  FROM raw
+),
+v AS (
+  SELECT vec_id, list_transform(e, y -> y / nrm) AS e FROM n
 )
 SELECT l.vec_id AS id_a, r.vec_id AS id_b
 FROM v l JOIN v r ON l.vec_id < r.vec_id
 WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
-                  (a, b) -> a + b)
-      / (sqrt(list_reduce(list_transform(l.e, y -> y * y), (a, b) -> a + b))
-         * sqrt(list_reduce(list_transform(r.e, y -> y * y), (a, b) -> a + b))) >= 0.95
+                  (a, b) -> a + b) >= 0.95
 """
 
 
@@ -965,6 +1127,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minmax_events_ts": (q_minmax_events_ts, SQL_MINMAX_EVENTS_TS),
     "ym_dense_fill_orders": (q_ym_dense_fill_orders, SQL_YM_DENSE_FILL_ORDERS),
     "crosstab_orders": (q_crosstab_orders, SQL_CROSSTAB_ORDERS),
+    "crosstab_orders_domains": (
+        q_crosstab_orders_domains,
+        SQL_CROSSTAB_ORDERS_DOMAINS,
+    ),
     "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
     "semi_customers_with_orders": (
         q_semi_customers_with_orders,
@@ -975,6 +1141,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "topn_sources": (q_topn_sources, SQL_TOPN_SOURCES),
     "union_provenance": (q_union_provenance, SQL_UNION_PROVENANCE),
     "dash_window_counts": (q_dash_window_counts, SQL_DASH_WINDOW_COUNTS),
+    "across_date_check": (q_across_date_check, SQL_ACROSS_DATE_CHECK),
+    "xmin_vs_orderdate": (q_xmin_vs_orderdate, SQL_XMIN_VS_ORDERDATE),
+    "bucket_acctbal": (q_bucket_acctbal, SQL_BUCKET_ACCTBAL),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "duplicate_groups": (q_duplicate_groups, SQL_DUPLICATE_GROUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

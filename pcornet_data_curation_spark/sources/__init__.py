@@ -1,0 +1,6 @@
+from pcornet_data_curation_spark.sources.tables import (  # noqa: F401
+    datastore_kind,
+    export_csv,
+    open_table,
+    write_table,
+)

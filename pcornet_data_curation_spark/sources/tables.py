@@ -1,0 +1,74 @@
+"""Source/sink abstraction — Iceberg when available, parquet otherwise.
+
+Reference analogs:
+* libname attach + per-table scan           data_curation_base.sas:31-36
+* memtype DATA/VIEW detection → datastore   data_curation_tables.sas:111-112, 364-366
+* dataset sink per query result             data_curation_base.sas:186-189
+* CSV export sink (&_csv=YES)               data_curation_print.sas:121-150
+
+The sandbox has no iceberg-spark runtime jar (verified), so table refs
+resolve in this order:
+  "iceberg:<catalog.table>"  — spark.read.table (works when a catalog
+                               with the Iceberg extension is configured
+                               on the session; raises otherwise)
+  "table:<name>"             — session catalog table/view
+  anything else              — parquet directory path
+
+`write_table` always writes parquet partitioned directories with
+dynamic partition overwrite (the idempotent per-bucket commit the
+checkpoint manifest relies on); with an Iceberg catalog the same call
+shape maps to `writeTo(...).overwritePartitions()` — isolated here so
+swapping the format touches one function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def open_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Resolve a table reference to a DataFrame (see module docstring)."""
+    if ref.startswith("iceberg:") or ref.startswith("table:"):
+        return spark.read.table(ref.split(":", 1)[1])
+    return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a result table. Parquet path refs get dynamic partition
+    overwrite (rewriting only the partitions present in `df` — the
+    idempotent resume primitive); catalog refs use saveAsTable."""
+    if ref.startswith("iceberg:") or ref.startswith("table:"):
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(ref.split(":", 1)[1])
+        return
+    w = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ref)
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """CSV export sink (reference &_csv=YES optional export,
+    data_curation_print.sas:121-150). single_file coalesces — only for
+    small aggregate tables, never the fact table."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def datastore_kind(spark: SparkSession, refs: list[str]) -> str:
+    """'PARQUET' / 'CATALOG' / 'MIX' — the reference's datastore
+    SAS/RDBMS/MIX report (data_curation_tables.sas:364-366)."""
+    kinds = {
+        "CATALOG" if (r.startswith("iceberg:") or r.startswith("table:")) else "PARQUET"
+        for r in refs
+    }
+    if len(kinds) > 1:
+        return "MIX"
+    return next(iter(kinds)) if kinds else "PARQUET"
