@@ -1079,17 +1079,30 @@ SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 20
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    """Exact cosine near-duplicate pairs (threshold join). Pairs-only
-    output keeps the oracle float-order-proof."""
+    """Exact cosine near-duplicate pairs (blocked-matmul all-pairs).
+    The driver table has no natural near-dups (max pairwise cosine
+    ≈0.51), so every 20th vector is re-keyed and re-injected — pairs
+    are then exactly the (v, v+1000000) copies at cosine 1.0 plus any
+    incidental ≥0.95 matches, computed by BOTH engines."""
     from pcornet_data_curation_spark.operators.dedup import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.95).select("id_a", "id_b")
+    dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return embedding_dup_pairs(emb.unionByName(dups), threshold=0.95).select(
+        "id_a", "id_b"
+    )
 
 
 SQL_EMBEDDING_DUP_PAIRS = """
-WITH raw AS (
-  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+raw AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM src
 ),
 n AS (
   SELECT vec_id, e,
