@@ -73,6 +73,20 @@ def salt_col(salt_factor: int):
     return F.pmod(F.xxhash64(F.col("url"), F.lit(0x5A17)), F.lit(salt_factor)).cast("int")
 
 
+def salted_repartition(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Append (bucket, salt) url-hash columns and range-partition one
+    cell per partition. repartitionByRange, NOT hash repartition: with
+    exactly n_buckets*salt_factor distinct cells, hash-mod collides
+    cells into the same partition (balls-into-bins → ~37% empty
+    partitions and 3-4-cell stragglers; measured max/mean ≈ 4). Range
+    partitioning assigns contiguous cells one-per-partition — balanced,
+    and each task writes into a single bucket directory."""
+    out = df.withColumn("bucket", bucket_col(cfg.n_buckets)).withColumn(
+        "salt", salt_col(cfg.salt_factor)
+    )
+    return out.repartitionByRange(cfg.n_buckets * cfg.salt_factor, "bucket", "salt")
+
+
 def lookback_filter(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Keep rows with warc_ts >= run_date - lookback (or NULL), the
     reference's lookback scan filter (data_curation_base.sas:44-47,
@@ -87,10 +101,7 @@ def lookback_filter(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The full row-level transform chain (stages 0-5), lazily planned."""
     df = lookback_filter(pages, cfg)
-    df = df.withColumn("bucket", bucket_col(cfg.n_buckets)).withColumn(
-        "salt", salt_col(cfg.salt_factor)
-    )
-    df = df.repartition(cfg.n_buckets * cfg.salt_factor, "bucket", "salt")
+    df = salted_repartition(df, cfg)
     df = with_doc_stats(df)
     df = with_verdict(df, cfg.rule_overrides)
     flag_cols = [R.flag_name(r) for r in R.active_rules(cfg.rule_overrides)]
