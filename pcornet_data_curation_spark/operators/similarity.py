@@ -8,14 +8,23 @@
   The scale path: bucket assignment is a one-pass projection, the
   probe is a bucket-pruned filter, so 10^12 vectors never fan out
   into a global sort wider than the probed buckets.
+* ivf_* — inverted-file index: deterministic seeded k-means coarse
+  quantizer (fit on a deterministic sample, numpy on the driver),
+  one vectorized assignment pass, then query-time probing of the
+  n_probe nearest cells only. With the table written partitioned by
+  ivf_cell, the probe becomes partition pruning at the scan.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from pcornet_data_curation_spark.functions import hashing as H
 
@@ -74,6 +83,86 @@ def query_bucket(query: list[float], n_planes: int = 8, seed: int = 42) -> str:
         "1" if float(sum(a * b for a, b in zip(planes[p], query))) >= 0 else "0"
         for p in range(n_planes)
     )
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((mat**2).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def ivf_fit(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_every: int = 7,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: spherical k-means on a
+    deterministic sample (every `sample_every`-th id — no RNG state),
+    numpy on the driver. Initial centroids are the sample rows picked
+    by a splitmix counter hash of `seed`, so fits are reproducible
+    across runs and machines. Returns (n_centroids, dim) L2-normalized
+    centroids."""
+    sample = (
+        df.where(F.col(id_col) % sample_every == 0)
+        .select(F.col(vec_col).cast("array<double>"))
+        .toPandas()
+    )
+    mat = _normalize_rows(np.vstack(sample.iloc[:, 0].to_numpy()))
+    k = min(n_centroids, len(mat))
+    idx = sorted(
+        {int(H._splitmix64_int(seed * 7919 + i) % len(mat)) for i in range(k * 4)}
+    )[:k]
+    cents = mat[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)  # cosine on unit rows
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """One vectorized assignment pass: ivf_cell = argmax cosine vs the
+    broadcast centroid matrix (numpy matmul per Arrow batch)."""
+    cents = centroids.copy()
+
+    @pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32), index=vecs.index)
+
+    return df.withColumn("ivf_cell", _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: score only the n_probe cells whose centroids are
+    nearest the query (cell list computed driver-side — tiny), exact
+    cosine within the probed cells. If `df` lacks ivf_cell it is
+    assigned on the fly; a table pre-written partitionBy('ivf_cell')
+    turns the isin() into scan partition pruning."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.sqrt((q**2).sum()) or 1.0)
+    order = np.argsort(-(centroids @ qn), kind="stable")
+    probe = [int(c) for c in order[: max(1, n_probe)]]
+    cells = df if "ivf_cell" in df.columns else with_ivf_cell(df, centroids, vec_col)
+    probed = cells.where(F.col("ivf_cell").isin(probe))
+    return brute_force_topk(probed, query, k, vec_col, id_col)
 
 
 def lsh_topk(

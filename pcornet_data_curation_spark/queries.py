@@ -1126,6 +1126,21 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, _QUERY_VEC, k=20, n_planes=8, max_hamming=8)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic seeded k-means coarse
+    quantizer, probe the 4 nearest cells (rows-only — the quantizer is
+    engine-side; recall vs exact is pytest-verified)."""
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_fit,
+        ivf_topk,
+        with_ivf_cell,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_fit(emb, n_centroids=16)
+    return ivf_topk(with_ivf_cell(emb, cents), _QUERY_VEC, cents, k=20, n_probe=4)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1174,6 +1189,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
 }
 
 

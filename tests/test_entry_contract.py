@@ -24,6 +24,7 @@ def test_oracle_keys_subset_of_queries():
         "fingerprint",
         "scrub_full",
         "lsh_topk",
+        "ivf_topk",
     }
 
 
