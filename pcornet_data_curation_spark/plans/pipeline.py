@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from pcornet_data_curation_spark.config import PipelineConfig
 from pcornet_data_curation_spark.operators import rules as R
-from pcornet_data_curation_spark.operators.checks import DEFAULT_CHECKS, run_checks
+from pcornet_data_curation_spark.operators.checks import (
+    DEFAULT_CHECKS,
+    expected_reports_check,
+    run_checks,
+)
 from pcornet_data_curation_spark.operators.normalize import assemble_metrics, melt_report
 from pcornet_data_curation_spark.operators.reports import (
     cont_stats,
@@ -62,6 +66,22 @@ CURATED_STATS = [
 ]
 
 LANG_VALUESET = ["en", "de", "fr", "es", "it", "pt", "nl"]
+
+# expected-output registry (the reference's dc_tables expected-dataset
+# list, data_curation_base.sas:3093-3105): every run must produce
+# exactly these reports; completeness_check flags any gap
+EXPECTED_REPORTS = [
+    "rule_summary",
+    "pages_tag",
+    "lang_dist",
+    "warc_ym_dist",
+    "tokens_by_keep",
+    "ppl_stats",
+    "warc_minmax",
+    "verdict_summary",
+    "url_unique",
+    "scrub_summary",
+]
 
 
 def bucket_col(n_buckets: int):
@@ -105,6 +125,9 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     df = with_doc_stats(df)
     df = with_verdict(df, cfg.rule_overrides)
     flag_cols = [R.flag_name(r) for r in R.active_rules(cfg.rule_overrides)]
+    # scrub_hit recorded here because the raw text column is dropped
+    # from the curated table (reports never need it again)
+    scrub_hit = ~F.col("scrubbed_text").eqNullSafe(F.col("text"))
     return df.select(
         "url",
         "warc_ts",
@@ -113,6 +136,7 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         *CURATED_STATS,
         *flag_cols,
         "keep",
+        scrub_hit.alias("scrub_hit"),
         "scrubbed_text",
     )
 
@@ -235,6 +259,17 @@ def run_pipeline(
             (F.count("url") - F.countDistinct("url")).alias("dup_url_n"),
         )
 
+    with tracker.stage("report_scrub_summary"):
+        hits = F.sum(F.col("scrub_hit").cast("long"))
+        total = F.count(F.lit(1))
+        reports["scrub_summary"] = cur.agg(
+            total.alias("records"),
+            hits.alias("scrub_hits"),
+            F.when(total > 0, F.floor(hits * 10000.0 / total) / 100.0)
+            .otherwise(F.lit(0.0))
+            .alias("scrub_pct"),
+        )
+
     reports_path = os.path.join(out, "reports")
     for name, rdf in reports.items():
         rdf.write.mode("overwrite").parquet(os.path.join(reports_path, name))
@@ -256,6 +291,7 @@ def run_pipeline(
             melt_report(rread["warc_minmax"], "warc_minmax", ["variable"]),
             melt_report(rread["verdict_summary"], "verdict_summary", []),
             melt_report(rread["url_unique"], "url_unique", []),
+            melt_report(rread["scrub_summary"], "scrub_summary", []),
         ]
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)
@@ -266,6 +302,14 @@ def run_pipeline(
         exceptions = run_checks(spark.read.parquet(metrics_path), DEFAULT_CHECKS)
         exceptions_path = os.path.join(out, "exceptions")
         exceptions.write.mode("overwrite").parquet(exceptions_path)
+
+    with tracker.stage("completeness_check"):
+        # expected-vs-produced registry (reference edc_prep.sas:80-125)
+        completeness = expected_reports_check(
+            produced=list(reports), expected=EXPECTED_REPORTS, spark=spark
+        )
+        completeness_path = os.path.join(out, "completeness")
+        completeness.write.mode("overwrite").parquet(completeness_path)
 
     lineage_path = os.path.join(out, "lineage")
     tracker.to_df(spark).write.mode("append").parquet(lineage_path)
@@ -281,6 +325,7 @@ def run_pipeline(
         "reports": reports_path,
         "metrics": metrics_path,
         "exceptions": exceptions_path,
+        "completeness": completeness_path,
         "lineage": lineage_path,
         "manifest": manifest.path,
         "stats": stats,

@@ -98,3 +98,22 @@ def test_lookback_filter(spark, outdir):
     assert kept.where(F.col("warc_ts").isNull()).count() > 0  # nulls retained
     oldest = kept.agg(F.min("warc_ts")).collect()[0][0]
     assert oldest is None or oldest >= dt.datetime(2023, 1, 1)
+
+
+def test_scrub_summary_and_completeness(spark, tmp_path):
+    from pcornet_data_curation_spark.config import PipelineConfig
+    from pcornet_data_curation_spark.datagen.pages import pages_df
+    from pcornet_data_curation_spark.plans.pipeline import EXPECTED_REPORTS, run_pipeline
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "out"), n_buckets=4)
+    res = run_pipeline(spark, pages_df(spark, 400, partitions=2), cfg)
+
+    scrub = spark.read.parquet(res["reports"] + "/scrub_summary").toPandas()
+    assert scrub["records"].iloc[0] == scrub["records"].iloc[0] >= 0
+    # the fixture plants PII + toxicity archetypes — some rows must scrub
+    assert scrub["scrub_hits"].iloc[0] > 0
+    assert 0.0 < scrub["scrub_pct"].iloc[0] < 100.0
+
+    comp = spark.read.parquet(res["completeness"]).toPandas()
+    assert set(comp["dc_name"]) == set(EXPECTED_REPORTS)
+    assert comp["produced"].all()
