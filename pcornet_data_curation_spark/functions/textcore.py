@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import re
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -263,19 +264,22 @@ def dup_line_frac(text: str) -> float:
     return dup / total if total else 0.0
 
 
+def _gram_windows(tokens: list[str], n: int) -> list[tuple[str, ...]]:
+    """All n-gram tuples in order — C-speed zip, no per-i slicing."""
+    return list(zip(*(tokens[i:] for i in range(n))))
+
+
 def dup_ngram_char_frac(tokens: list[str], n: int) -> float:
     """Fraction of characters covered by word n-grams that appear >1 time."""
     if len(tokens) < n:
         return 0.0
-    grams: dict[tuple[str, ...], int] = {}
-    for i in range(len(tokens) - n + 1):
-        g = tuple(tokens[i : i + n])
-        grams[g] = grams.get(g, 0) + 1
+    windows = _gram_windows(tokens, n)
+    grams = Counter(windows)
     covered = np.zeros(len(tokens), dtype=bool)
-    for i in range(len(tokens) - n + 1):
-        if grams[tuple(tokens[i : i + n])] > 1:
+    for i, g in enumerate(windows):
+        if grams[g] > 1:
             covered[i : i + n] = True
-    total = sum(len(t) for t in tokens)
+    total = sum(map(len, tokens))
     dup = sum(len(t) for t, c in zip(tokens, covered) if c)
     return dup / total if total else 0.0
 
@@ -284,15 +288,12 @@ def top_ngram_char_frac(tokens: list[str], n: int) -> float:
     """Fraction of characters covered by the single most frequent n-gram."""
     if len(tokens) < n:
         return 0.0
-    grams: dict[tuple[str, ...], int] = {}
-    for i in range(len(tokens) - n + 1):
-        g = tuple(tokens[i : i + n])
-        grams[g] = grams.get(g, 0) + 1
+    grams = Counter(_gram_windows(tokens, n))
     top = max(grams, key=lambda g: (grams[g], g))
     if grams[top] <= 1:
         return 0.0
-    total = sum(len(t) for t in tokens)
-    return grams[top] * sum(len(t) for t in top) / total if total else 0.0
+    total = sum(map(len, tokens))
+    return grams[top] * sum(map(len, top)) / total if total else 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -327,43 +328,74 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
 
     Input: pandas Series of str (None/NaN allowed → treated as '').
     Output: DataFrame with STAT_FIELDS columns, aligned to input index.
+
+    Character-level stats run as batch pandas str ops (C speed, same
+    counting semantics as the former per-doc str.count calls: regex
+    matches are non-overlapping exactly like str.count); only the
+    token/line/model stats loop per document.
     """
     vals = texts.fillna("").astype(str)
-    out: dict[str, list] = {name: [] for name, _ in STAT_FIELDS}
+    low_all = vals.str.lower()
+    n_chars = vals.str.len().to_numpy()
+    sentences = (
+        vals.str.count(r"\.") + vals.str.count("!") + vals.str.count(r"\?")
+    ).to_numpy()
+    symbols = (
+        vals.str.count("#") + vals.str.count(r"\.\.\.") + vals.str.count("…")
+    ).to_numpy()
+    has_curly = (
+        vals.str.contains("{", regex=False) | vals.str.contains("}", regex=False)
+    ).to_numpy()
+    has_bad = np.zeros(len(vals), dtype=bool)
+    for p in C4_BAD_PHRASES:
+        has_bad |= low_all.str.contains(p, regex=False).to_numpy()
+
+    out: dict[str, list] = {
+        name: []
+        for name, _ in STAT_FIELDS
+        if name
+        not in (
+            "n_chars",
+            "n_sentences",
+            "symbol_word_ratio",
+            "has_bad_phrase",
+            "has_curly_brace",
+        )
+    }
     for text in vals:
         tokens = tokenize(text)
         n_tokens = len(tokens)
         lines = [ln for ln in text.split("\n") if ln.strip()]
         stripped = [ln.strip() for ln in lines]
         n_lines = len(lines)
-        tok_chars = sum(len(t) for t in tokens)
+        tok_chars = sum(map(len, tokens))
         alpha_words = sum(1 for t in tokens if ALPHA_RE.search(t))
-        symbols = text.count("#") + text.count("...") + text.count("…")
         bullets = sum(1 for ln in stripped if ln.startswith(BULLET_PREFIXES))
         ellipses = sum(1 for ln in stripped if ln.endswith(ELLIPSIS_SUFFIXES))
-        low = text.lower()
         stop_n = sum(1 for t in tokens if t.lower() in _STOP_SET)
-        sentences = sum(text.count(p) for p in (".", "!", "?"))
         lang, conf = langid_scores(text)
-        out["n_chars"].append(len(text))
         out["n_tokens"].append(n_tokens)
         out["n_lines"].append(n_lines)
-        out["n_sentences"].append(sentences)
         out["mean_word_len"].append(tok_chars / n_tokens if n_tokens else 0.0)
         out["alpha_word_frac"].append(alpha_words / n_tokens if n_tokens else 0.0)
-        out["symbol_word_ratio"].append(symbols / n_tokens if n_tokens else 0.0)
         out["bullet_line_frac"].append(bullets / n_lines if n_lines else 0.0)
         out["ellipsis_line_frac"].append(ellipses / n_lines if n_lines else 0.0)
         out["stopword_count"].append(stop_n)
         out["dup_line_frac"].append(dup_line_frac(text))
         out["dup_5gram_char_frac"].append(dup_ngram_char_frac(tokens, 5))
         out["top_2gram_char_frac"].append(top_ngram_char_frac(tokens, 2))
-        out["has_bad_phrase"].append(int(any(p in low for p in C4_BAD_PHRASES)))
-        out["has_curly_brace"].append(int("{" in text or "}" in text))
         out["lang_pred"].append(lang)
         out["lang_conf"].append(conf)
         out["ppl"].append(perplexity(text))
+
+    n_tok_arr = np.asarray(out["n_tokens"], dtype=np.float64)
     frame = pd.DataFrame(out, index=vals.index)
+    frame["n_chars"] = n_chars
+    frame["n_sentences"] = sentences
+    frame["symbol_word_ratio"] = np.where(n_tok_arr > 0, symbols / np.maximum(n_tok_arr, 1), 0.0)
+    frame["has_bad_phrase"] = has_bad.astype("int64")
+    frame["has_curly_brace"] = has_curly.astype("int64")
+    frame = frame[[name for name, _ in STAT_FIELDS]]
     for name, dtype in STAT_FIELDS:
         if dtype != "object":
             frame[name] = frame[name].astype(dtype)

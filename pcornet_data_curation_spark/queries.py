@@ -576,6 +576,34 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured column handling (beyond the reference, which has
+    no JSON — SURVEY §2.8): extract a key from the events.props JSON
+    string, aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("k_n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+SQL_JSON_PROPS_STATS = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 _DASH_RUN = "2024-01-31"
 _DASH_WINDOWS = [("last_7d", "2024-01-24"), ("last_14d", "2024-01-17"), ("last_30d", "2024-01-01")]
 
@@ -1168,6 +1196,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "window_latest_event": (q_window_latest_event, SQL_WINDOW_LATEST_EVENT),
     "topn_sources": (q_topn_sources, SQL_TOPN_SOURCES),
     "union_provenance": (q_union_provenance, SQL_UNION_PROVENANCE),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS_STATS),
     "dash_window_counts": (q_dash_window_counts, SQL_DASH_WINDOW_COUNTS),
     "across_date_check": (q_across_date_check, SQL_ACROSS_DATE_CHECK),
     "xmin_vs_orderdate": (q_xmin_vs_orderdate, SQL_XMIN_VS_ORDERDATE),
