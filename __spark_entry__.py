@@ -32,6 +32,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted only for
-    engine-specific hash families: minhash/simhash/xxhash64/sign-LSH
-    and the lookaround scrub chain, which are rows-only checks)."""
+    engine-specific families: minhash/simhash/xxhash64/sign-LSH/
+    seeded-kmeans and the lookaround scrub chain — rows-only checks)."""
     return Q.oracle_sql()

@@ -236,18 +236,17 @@ def ngram_jaccard_pairs(
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     # join key = xxhash64(shingle), not the shingle string: the shuffle
-    # rows shrink to (long, long, int) and the hot-key hash join compares
-    # 8-byte keys (collision odds across a doc pair ~2^-64 · |shingles|²)
-    shingled = (
-        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
-        .select(F.col(id_col).alias("_id"), F.array_distinct(sh).alias("shingles"))
-        .select(
-            "_id",
-            F.size("shingles").alias("set_size"),
-            F.explode(
-                F.transform("shingles", lambda s: F.xxhash64(s))
-            ).alias("shingle"),
-        )
+    # rows shrink to (long, long) and the hot-key hash join compares
+    # 8-byte keys (collision odds across a doc pair ~2^-64 · |shingles|²).
+    # set sizes do NOT ride the quadratic join — a tiny (id, set_size)
+    # side is broadcast-joined onto the aggregated pairs afterwards.
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_id"), F.array_distinct(sh).alias("shingles"))
+    sizes = base.select("_id", F.size("shingles").alias("set_size"))
+    shingled = base.select(
+        "_id",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
     )
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (
@@ -255,10 +254,19 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l.set_size").alias("size_a"),
-            F.col("r.set_size").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    inter = inter.join(
+        F.broadcast(
+            sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a"))
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b"))
+        ),
+        "id_b",
     )
     # threshold on the RAW ratio (never on a rounded value — Spark round
     # is decimal-string HALF_UP, oracle engines round binary, so a
