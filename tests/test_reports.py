@@ -136,3 +136,41 @@ def test_crosstab_full_domain(spark):
     assert got["record_n"].sum() == 3
     zero_cells = got[(got.c1 == "b")]
     assert (zero_cells["record_n"] == 0).all()
+
+
+def test_crosstab_domains_empty_input_full_shape(spark):
+    from pcornet_data_curation_spark.operators.reports import crosstab
+
+    empty = spark.createDataFrame([], "a string, b string, k long")
+    got = crosstab(
+        empty, ["a", "b"], domains={"a": ["x", "y"], "b": ["p", "q", "r"]}, distinct_col="k"
+    ).toPandas()
+    # full (2+NULL) x (3+NULL) cross-product, zero-filled (dummy-path
+    # invariant, data_curation_base.sas:140-158)
+    assert len(got) == 3 * 4
+    assert (got["record_n"] == 0).all() and (got["distinct_n"] == 0).all()
+    assert (got["record_pct"] == 0.0).all()
+
+
+def test_ym_dense_fill_bridges_gaps(spark):
+    from pcornet_data_curation_spark.operators.reports import ym_dense_fill
+
+    counts = spark.createDataFrame(
+        [("2023_01", 5), ("2023_04", 2)], "ym string, record_n long"
+    )
+    got = ym_dense_fill(counts).toPandas()
+    assert got["ym"].tolist() == ["2023_01", "2023_02", "2023_03", "2023_04"]
+    assert got["record_n"].tolist() == [5, 0, 0, 2]
+
+
+def test_cont_stats_null_group_row(spark):
+    from pcornet_data_curation_spark.operators.reports import cont_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("a", 3.0), (None, None)], "g string, x double"
+    )
+    got = cont_stats(df, "x", group=["g"]).toPandas()
+    # NULL group is a real output row (reference forces it, :350-398)
+    nullrow = got[got["g"].isna()]
+    assert len(nullrow) == 1
+    assert nullrow["n"].iloc[0] == 1 and nullrow["nmiss"].iloc[0] == 1
