@@ -191,6 +191,60 @@ def langid_scores(text: str) -> tuple[str, float]:
     return LANGID_LANGS[i], conf
 
 
+_SENTINEL = 27  # out-of-alphabet id splitting docs in the packed array
+
+
+def langid_scores_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
+    """Batch langid, sparse: pack every doc's trigram ids into one
+    array, run-length the (doc, tri) pairs with np.unique, then compute
+    each doc's per-language numerator with ONE bincount per language
+    (8 total) and its norm with one more — no dense 27³-wide rows.
+    Same trigram counts as langid_scores; cosine/softmax vectorized."""
+    n = len(texts)
+    langs_out: list[str] = ["und"] * n
+    conf_out = np.zeros(n, dtype=np.float64)
+    pieces: list[np.ndarray] = []
+    doc_of: list[np.ndarray] = []
+    for d, text in enumerate(texts):
+        if not text:
+            continue
+        s = " " + _NONLETTER_RE.sub(" ", text.lower()) + " "
+        s = WS_RE.sub(" ", s)
+        if len(s) < 3:
+            continue
+        ids = _TRI_LUT[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
+        pieces.append(np.append(ids, _SENTINEL))  # sentinel splits docs
+        doc_of.append(np.full(len(ids) + 1, d, dtype=np.int64))
+    if not pieces:
+        return langs_out, conf_out
+    packed = np.concatenate(pieces)
+    docs = np.concatenate(doc_of)
+    a, b, c = packed[:-2], packed[1:-1], packed[2:]
+    valid = (a != _SENTINEL) & (b != _SENTINEL) & (c != _SENTINEL)
+    tri = (a[valid] * 27 + b[valid]) * 27 + c[valid]
+    dbin = docs[:-2][valid]
+    # run-length encode (doc, tri) occurrences → per-doc sparse counts
+    keys, cnt = np.unique(dbin * _TRI_DIM + tri, return_counts=True)
+    kdoc = keys // _TRI_DIM
+    ktri = keys % _TRI_DIM
+    cnt = cnt.astype(np.float64) * _LANGID_KNOWN[ktri]  # mask unknown tris
+    norms = np.sqrt(np.bincount(kdoc, weights=cnt * cnt, minlength=n))
+    num = np.empty((len(LANGID_LANGS), n), dtype=np.float64)
+    for li in range(len(LANGID_LANGS)):
+        num[li] = np.bincount(kdoc, weights=cnt * _LANGID_MAT[li, ktri], minlength=n)
+    ok = norms > 0
+    if not ok.any():
+        return langs_out, conf_out
+    sims = (num[:, ok] / norms[ok][None, :]).T  # (docs_ok, langs)
+    best = np.argmax(sims, axis=1)
+    exp = np.exp(sims * 8.0)
+    confs = exp[np.arange(len(best)), best] / exp.sum(axis=1)
+    for j, d in enumerate(np.nonzero(ok)[0]):
+        langs_out[int(d)] = LANGID_LANGS[int(best[j])]
+        conf_out[int(d)] = float(confs[j])
+    return langs_out, conf_out
+
+
 # ---------------------------------------------------------------------------
 # Perplexity: character-bigram LM over [a-z ] with add-one smoothing,
 # trained at import time on the embedded English seed corpus
@@ -242,6 +296,9 @@ def perplexity(text: str) -> float:
         return float(math.exp(-_PPL_OOV_LOGPROB))
     lp = _PPL_LOGPROB[a[valid], b[valid]]
     return float(math.exp(-float(lp.mean())))
+
+
+_PPL_OOV = float(math.exp(-_PPL_OOV_LOGPROB))
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +407,12 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
     for p in C4_BAD_PHRASES:
         has_bad |= low_all.str.contains(p, regex=False).to_numpy()
 
+    text_list = vals.tolist()
+    lang_pred, lang_conf = langid_scores_batch(text_list)
+    ppl = np.fromiter(
+        (perplexity(t) for t in text_list), dtype=np.float64, count=len(text_list)
+    )
+
     out: dict[str, list] = {
         name: []
         for name, _ in STAT_FIELDS
@@ -360,9 +423,12 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
             "symbol_word_ratio",
             "has_bad_phrase",
             "has_curly_brace",
+            "lang_pred",
+            "lang_conf",
+            "ppl",
         )
     }
-    for text in vals:
+    for text in text_list:
         tokens = tokenize(text)
         n_tokens = len(tokens)
         lines = [ln for ln in text.split("\n") if ln.strip()]
@@ -373,7 +439,6 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
         bullets = sum(1 for ln in stripped if ln.startswith(BULLET_PREFIXES))
         ellipses = sum(1 for ln in stripped if ln.endswith(ELLIPSIS_SUFFIXES))
         stop_n = sum(1 for t in tokens if t.lower() in _STOP_SET)
-        lang, conf = langid_scores(text)
         out["n_tokens"].append(n_tokens)
         out["n_lines"].append(n_lines)
         out["mean_word_len"].append(tok_chars / n_tokens if n_tokens else 0.0)
@@ -384,12 +449,12 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
         out["dup_line_frac"].append(dup_line_frac(text))
         out["dup_5gram_char_frac"].append(dup_ngram_char_frac(tokens, 5))
         out["top_2gram_char_frac"].append(top_ngram_char_frac(tokens, 2))
-        out["lang_pred"].append(lang)
-        out["lang_conf"].append(conf)
-        out["ppl"].append(perplexity(text))
 
     n_tok_arr = np.asarray(out["n_tokens"], dtype=np.float64)
     frame = pd.DataFrame(out, index=vals.index)
+    frame["lang_pred"] = lang_pred
+    frame["lang_conf"] = lang_conf
+    frame["ppl"] = ppl
     frame["n_chars"] = n_chars
     frame["n_sentences"] = sentences
     frame["symbol_word_ratio"] = np.where(n_tok_arr > 0, symbols / np.maximum(n_tok_arr, 1), 0.0)
