@@ -1,0 +1,86 @@
+"""spark-submit-able entry point — the analog of the reference's
+user-edited run programs (sasprograms/01-04_run_*.sas): one command per
+lifecycle stage, parameters on the command line instead of edited into
+the source.
+
+    spark-submit --py-files pcornet_data_curation_spark.zip \
+        -m pcornet_data_curation_spark run \
+        --input /data/pages --output /data/curation_run_42 \
+        --run-date 2026-01-01 --buckets 1024 --salt 8
+
+Local usage (tests / this sandbox):
+
+    python -m pcornet_data_curation_spark run --input ... --output ...
+    python -m pcornet_data_curation_spark resume --input ... --output ...
+    python -m pcornet_data_curation_spark gen-pages --n 10000 --output ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input", required=True, help="pages table (parquet dir / table: / iceberg: ref)")
+    p.add_argument("--output", required=True, help="run output root")
+    p.add_argument("--run-date", default="2026-01-01", help="deterministic 'today' (YYYY-MM-DD)")
+    p.add_argument("--lookback-years", type=int, default=10)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salt", type=int, default=4)
+    p.add_argument("--cores", type=int, default=None, help="local[N]; omit on a cluster")
+    p.add_argument("--rule-overrides", default=None, help="JSON dict of rule overrides")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pcornet_data_curation_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "resume"):
+        _add_run_args(sub.add_parser(name, help=f"{name} a curation run"))
+    g = sub.add_parser("gen-pages", help="write the deterministic synthetic pages table")
+    g.add_argument("--n", type=int, required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--partitions", type=int, default=64)
+    g.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pcornet_data_curation_spark.session import get_spark
+
+    spark = get_spark(app_name=f"pdcs-{args.cmd}", cores=args.cores)
+
+    if args.cmd == "gen-pages":
+        from pcornet_data_curation_spark.datagen.pages import pages_df
+
+        pages_df(spark, args.n, seed=args.seed, partitions=args.partitions).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        print(json.dumps({"written": args.output, "rows": args.n}))
+        return 0
+
+    # run / resume share the same path: run_pipeline consults the
+    # manifest, so 'resume' is just 'run' against an existing output
+    # root (kept as a separate verb for operator clarity, like the
+    # reference's part1/part2 reruns)
+    from pcornet_data_curation_spark.config import PipelineConfig
+    from pcornet_data_curation_spark.plans.pipeline import run_pipeline
+    from pcornet_data_curation_spark.sources import open_table
+
+    cfg = PipelineConfig(
+        run_date=dt.date.fromisoformat(args.run_date),
+        lookback_years=args.lookback_years,
+        n_buckets=args.buckets,
+        salt_factor=args.salt,
+        rule_overrides=json.loads(args.rule_overrides) if args.rule_overrides else {},
+        output_root=args.output,
+    )
+    result = run_pipeline(spark, open_table(spark, args.input), cfg)
+    print(json.dumps({"outputs": {k: v for k, v in result.items() if k != "stats"},
+                      "stats": result["stats"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

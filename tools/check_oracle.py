@@ -74,15 +74,25 @@ def equal_frames(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain-session"]
+    plain = "--plain-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, ".")
     import __spark_entry__ as E
 
-    from pcornet_data_curation_spark.session import get_spark
+    if plain:
+        # replicate the DRIVER's environment: a bare session with none
+        # of our configs (no UTC pin, default shuffle partitions, no
+        # Arrow tuning) — queries must be config-independent
+        from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="check_entry")
+        spark = SparkSession.builder.master("local[8]").appName("plain").getOrCreate()
+    else:
+        from pcornet_data_curation_spark.session import get_spark
+
+        spark = get_spark(app_name="check_entry")
 
     con = duckdb.connect()
     for t in TABLES:
