@@ -115,25 +115,38 @@ def n_pct(
     valueset: list[str],
     distinct_col: str | None = None,
     include_overflow: bool = True,
+    distinct_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Counts + pct per category, super-populated over `valueset` with
     forced NULL + overflow rows (reference %n_pct completetypes /
     preloadfmt semantics, data_curation_base.sas:837-846, 905-912).
 
-    Output: (category, ord, record_n, record_pct[, distinct_n]); ord is
-    the valueset order with NULL and overflow forced last
-    (sentinel-sort parity, data_curation_base.sas:1298-1300).
+    Output: (category, ord, record_n, record_pct[, distinct_n][, extra
+    distinct columns]); ord is the valueset order with NULL and
+    overflow forced last (sentinel-sort parity,
+    data_curation_base.sas:1298-1300).
+
+    distinct_cols maps output_name -> source column for ADDITIONAL
+    exact distinct counts per category — the reference's optional
+    distinct patid / patid_1 / visit / elig-record counts
+    (data_curation_base.sas:947-1074), all computed in the same single
+    aggregation pass.
     """
     spark = df.sparkSession
+    distinct_cols = dict(distinct_cols or {})
+    if distinct_col:
+        distinct_cols = {"distinct_n": distinct_col, **distinct_cols}
     cat = (
         F.when(F.col(col).isNull(), F.lit(NULL_CATEGORY))
         .when(F.col(col).cast("string").isin(valueset), F.col(col).cast("string"))
         .otherwise(F.lit(OVERFLOW_CATEGORY))
     )
-    sel = [cat.alias("category")] + ([F.col(distinct_col).alias("_d")] if distinct_col else [])
-    aggs = [F.count(F.lit(1)).alias("record_n")]
-    if distinct_col:
-        aggs.append(F.countDistinct("_d").alias("distinct_n"))
+    sel = [cat.alias("category")] + [
+        F.col(src).alias(f"_d_{name}") for name, src in distinct_cols.items()
+    ]
+    aggs = [F.count(F.lit(1)).alias("record_n")] + [
+        F.countDistinct(f"_d_{name}").alias(name) for name in distinct_cols
+    ]
     counts = df.select(*sel).groupBy("category").agg(*aggs)
 
     domain_rows = [(v, i) for i, v in enumerate(valueset)]
@@ -142,15 +155,11 @@ def n_pct(
         domain_rows.append((OVERFLOW_CATEGORY, len(valueset) + 1))
     domain = spark.createDataFrame(domain_rows, "category string, ord int")
 
-    fill = {"record_n": 0}
-    if distinct_col:
-        fill["distinct_n"] = 0
+    fill = {"record_n": 0, **{name: 0 for name in distinct_cols}}
     out = domain.join(counts, "category", "left").na.fill(fill)
     total = F.sum("record_n").over(Window.partitionBy())
     out = out.withColumn("record_pct", _pct_expr(F.col("record_n"), total))
-    cols_out = ["category", "ord", "record_n", "record_pct"] + (
-        ["distinct_n"] if distinct_col else []
-    )
+    cols_out = ["category", "ord", "record_n", "record_pct", *distinct_cols]
     return out.select(*cols_out).orderBy("ord")
 
 
@@ -299,11 +308,17 @@ def crosstab(
     levels: list[str],
     domains: dict[str, list[str]] | None = None,
     distinct_col: str | None = None,
+    pct_within: str | None = None,
 ) -> DataFrame:
     """2/3-level categorical crosstab (reference %n_pct_multilev,
     data_curation_base.sas:1315-2233). When `domains` provides the
     category lists, the output is super-populated over their full
     cross-product (completetypes); otherwise observed-only.
+
+    pct_within=<level>: record_pct is taken within each value of that
+    level instead of the grand total — the reference's per-var1
+    percentage special case (ENC_L3_LOS_DIST,
+    data_curation_base.sas:1577-1607).
 
     The cross-product frame is built from tiny in-memory domains and
     joined onto the aggregate — never a fact-table cross join.
@@ -327,7 +342,8 @@ def crosstab(
         if distinct_col:
             fill["distinct_n"] = 0
         counts = domain_df.join(counts, levels, "left").na.fill(fill)
-    total = F.sum("record_n").over(Window.partitionBy())
+    w = Window.partitionBy(pct_within) if pct_within else Window.partitionBy()
+    total = F.sum("record_n").over(w)
     return counts.withColumn(
         "record_pct", _pct_expr(F.col("record_n"), total)
     ).orderBy(*levels)

@@ -424,6 +424,81 @@ FROM j
 """
 
 
+def q_crosstab_pct_within(spark, sf_dir):
+    """%n_pct_multilev per-var1 percentage special (ENC_L3_LOS_DIST,
+    data_curation_base.sas:1577-1607): record_pct within each
+    o_orderstatus instead of the grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return crosstab(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        distinct_col="o_custkey",
+        pct_within="o_orderstatus",
+    )
+
+
+SQL_CROSSTAB_PCT_WITHIN = """
+WITH c AS (
+  SELECT COALESCE(o_orderstatus, 'NULL or missing') AS o_orderstatus,
+         COALESCE(o_orderpriority, 'NULL or missing') AS o_orderpriority,
+         COUNT(*) AS record_n,
+         COUNT(DISTINCT o_custkey) AS distinct_n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority, record_n, distinct_n,
+       CASE WHEN SUM(record_n) OVER (PARTITION BY o_orderstatus) > 0
+            THEN FLOOR(record_n * 10000.0
+                       / SUM(record_n) OVER (PARTITION BY o_orderstatus)) / 100.0
+            ELSE 0.0 END AS record_pct
+FROM c
+"""
+
+
+def q_npct_multi_distinct(spark, sf_dir):
+    """%n_pct with MULTIPLE per-category exact distinct counts in one
+    aggregation pass (reference optional distinct patid/visit counts,
+    data_curation_base.sas:947-1074)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return n_pct(
+        li,
+        "l_returnflag",
+        ["A", "N", "R"],
+        distinct_cols={"distinct_orders": "l_orderkey", "distinct_parts": "l_partkey"},
+    )
+
+
+SQL_NPCT_MULTI_DISTINCT = """
+WITH domain AS (
+  SELECT * FROM (VALUES ('A', 0), ('N', 1), ('R', 2),
+                        ('NULL or missing', 3),
+                        ('Values outside of CDM specifications', 4))
+           AS t(category, ord)
+),
+c AS (
+  SELECT CASE WHEN l_returnflag IS NULL THEN 'NULL or missing'
+              WHEN l_returnflag IN ('A','N','R') THEN l_returnflag
+              ELSE 'Values outside of CDM specifications' END AS category,
+         COUNT(*) AS record_n,
+         COUNT(DISTINCT l_orderkey) AS distinct_orders,
+         COUNT(DISTINCT l_partkey) AS distinct_parts
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT d.category, d.ord,
+         COALESCE(c.record_n, 0) AS record_n,
+         COALESCE(c.distinct_orders, 0) AS distinct_orders,
+         COALESCE(c.distinct_parts, 0) AS distinct_parts
+  FROM domain d LEFT JOIN c USING (category)
+)
+SELECT category, ord, record_n,
+       CASE WHEN SUM(record_n) OVER () > 0
+            THEN FLOOR(record_n * 10000.0 / SUM(record_n) OVER ()) / 100.0
+            ELSE 0.0 END AS record_pct,
+       distinct_orders, distinct_parts
+FROM j ORDER BY ord
+"""
+
+
 def q_join_revenue_by_nation(spark, sf_dir):
     """3-way equi-join with broadcast dimension (SURVEY §2.3): revenue
     per nation, decimal-exact sums. nation is tiny → broadcast()."""
@@ -1187,6 +1262,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_crosstab_orders_domains,
         SQL_CROSSTAB_ORDERS_DOMAINS,
     ),
+    "crosstab_pct_within": (q_crosstab_pct_within, SQL_CROSSTAB_PCT_WITHIN),
+    "npct_multi_distinct": (q_npct_multi_distinct, SQL_NPCT_MULTI_DISTINCT),
     "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
     "semi_customers_with_orders": (
         q_semi_customers_with_orders,
