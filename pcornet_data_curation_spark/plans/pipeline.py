@@ -81,6 +81,7 @@ EXPECTED_REPORTS = [
     "verdict_summary",
     "url_unique",
     "scrub_summary",
+    "run_metadata",
 ]
 
 
@@ -259,6 +260,22 @@ def run_pipeline(
             (F.count("url") - F.countDistinct("url")).alias("dup_url_n"),
         )
 
+    with tracker.stage("report_run_metadata"):
+        # run-level metadata (reference XTBL_L3_METADATA / DATAMART_ALL,
+        # data_curation_tables.sas:46-497): engine + config + freshness
+        reports["run_metadata"] = spark.createDataFrame(
+            [
+                ("spark_version", spark.version),
+                ("run_date", cfg.run_date.isoformat()),
+                ("lookback_years", str(cfg.lookback_years)),
+                ("lookback_cutoff", cfg.lookback_cutoff.isoformat()),
+                ("n_buckets", str(cfg.n_buckets)),
+                ("salt_factor", str(cfg.salt_factor)),
+                ("output_root", cfg.output_root),
+            ],
+            "meta_key string, meta_value string",
+        )
+
     with tracker.stage("report_scrub_summary"):
         hits = F.sum(F.col("scrub_hit").cast("long"))
         total = F.count(F.lit(1))
@@ -292,6 +309,7 @@ def run_pipeline(
             melt_report(rread["verdict_summary"], "verdict_summary", []),
             melt_report(rread["url_unique"], "url_unique", []),
             melt_report(rread["scrub_summary"], "scrub_summary", []),
+            melt_report(rread["run_metadata"], "run_metadata", ["meta_key"]),
         ]
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)
