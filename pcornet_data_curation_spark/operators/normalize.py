@@ -79,6 +79,32 @@ def melt_report(
     )
 
 
+def extraction_consistent_col(html_col="html", text_col="text"):
+    """Boolean Column: the stored text plausibly came from the stored
+    html (stage-1 extraction check, SURVEY §7). Tag-stripped, whitespace-
+    normalized html must contain the first 64 chars of the normalized
+    text. NULL html or NULL/empty text → consistent (nothing to check).
+    Pure Column algebra — decode + two regex passes, no UDF."""
+    from pyspark.sql import functions as F
+
+    ws = "[ \\t\\n\\r\\f\\x0B]+"
+    norm_text = F.trim(F.regexp_replace(F.col(text_col), ws, " "))
+    stripped_html = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.decode(F.col(html_col), "UTF-8"), "<[^>]*>", " "),
+            ws,
+            " ",
+        )
+    )
+    probe = F.substring(norm_text, 1, 64)
+    return (
+        F.col(html_col).isNull()
+        | F.col(text_col).isNull()
+        | (F.length(norm_text) == 0)
+        | stripped_html.contains(probe)
+    )
+
+
 def assemble_metrics(melted: list[DataFrame]) -> DataFrame:
     """Union all melted reports (reference final assembly,
     normalization.sas:945-961)."""

@@ -40,7 +40,11 @@ from pcornet_data_curation_spark.operators.checks import (
     expected_reports_check,
     run_checks,
 )
-from pcornet_data_curation_spark.operators.normalize import assemble_metrics, melt_report
+from pcornet_data_curation_spark.operators.normalize import (
+    assemble_metrics,
+    extraction_consistent_col,
+    melt_report,
+)
 from pcornet_data_curation_spark.operators.reports import (
     cont_stats,
     minmax_profile,
@@ -82,6 +86,7 @@ EXPECTED_REPORTS = [
     "url_unique",
     "scrub_summary",
     "run_metadata",
+    "extraction_summary",
 ]
 
 
@@ -126,9 +131,16 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     df = with_doc_stats(df)
     df = with_verdict(df, cfg.rule_overrides)
     flag_cols = [R.flag_name(r) for r in R.active_rules(cfg.rule_overrides)]
-    # scrub_hit recorded here because the raw text column is dropped
-    # from the curated table (reports never need it again)
+    # scrub_hit / extraction_ok recorded here because the raw text and
+    # html columns are dropped from the curated table (reports never
+    # need them again). extraction_ok is config-gated: it is the ONLY
+    # consumer of html, so disabling it removes html from the scan.
     scrub_hit = ~F.col("scrubbed_text").eqNullSafe(F.col("text"))
+    extraction_ok = (
+        extraction_consistent_col()
+        if cfg.check_extraction
+        else F.lit(True)
+    )
     return df.select(
         "url",
         "warc_ts",
@@ -138,6 +150,7 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         *flag_cols,
         "keep",
         scrub_hit.alias("scrub_hit"),
+        extraction_ok.alias("extraction_ok"),
         "scrubbed_text",
     )
 
@@ -287,6 +300,17 @@ def run_pipeline(
             .alias("scrub_pct"),
         )
 
+    with tracker.stage("report_extraction_summary"):
+        bad = F.sum((~F.col("extraction_ok")).cast("long"))
+        total = F.count(F.lit(1))
+        reports["extraction_summary"] = cur.agg(
+            total.alias("records"),
+            bad.alias("mismatch_n"),
+            F.when(total > 0, F.floor(bad * 10000.0 / total) / 100.0)
+            .otherwise(F.lit(0.0))
+            .alias("mismatch_pct"),
+        )
+
     reports_path = os.path.join(out, "reports")
     for name, rdf in reports.items():
         rdf.write.mode("overwrite").parquet(os.path.join(reports_path, name))
@@ -310,6 +334,7 @@ def run_pipeline(
             melt_report(rread["url_unique"], "url_unique", []),
             melt_report(rread["scrub_summary"], "scrub_summary", []),
             melt_report(rread["run_metadata"], "run_metadata", ["meta_key"]),
+            melt_report(rread["extraction_summary"], "extraction_summary", []),
         ]
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)

@@ -117,3 +117,36 @@ def test_scrub_summary_and_completeness(spark, tmp_path):
     comp = spark.read.parquet(res["completeness"]).toPandas()
     assert set(comp["dc_name"]) == set(EXPECTED_REPORTS)
     assert comp["produced"].all()
+
+
+def test_extraction_check_flags_planted_mismatches(spark, tmp_path):
+    from pcornet_data_curation_spark.config import PipelineConfig
+    from pcornet_data_curation_spark.datagen.pages import pages_df
+    from pcornet_data_curation_spark.plans.pipeline import run_pipeline
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "out"), n_buckets=4)
+    res = run_pipeline(spark, pages_df(spark, 600, partitions=2), cfg)
+    ext = spark.read.parquet(res["reports"] + "/extraction_summary").toPandas()
+    # the fixture plants ~5% html-text extraction mismatches
+    assert ext["mismatch_n"].iloc[0] > 0
+    assert 0.0 < ext["mismatch_pct"].iloc[0] < 20.0
+
+    # disabling the check removes html from the parquet scan entirely
+    from pcornet_data_curation_spark.plans.pipeline import curate
+
+    pq = str(tmp_path / "pages_pq")
+    pages_df(spark, 100, partitions=1).write.parquet(pq)
+
+    def read_schema(check):
+        cfg2 = PipelineConfig(output_root=str(tmp_path / "x"), check_extraction=check)
+        plan = curate(spark.read.parquet(pq), cfg2)
+        lines = [
+            ln
+            for ln in plan._jdf.queryExecution().executedPlan().toString().splitlines()
+            if "ReadSchema" in ln
+        ]
+        assert lines
+        return lines[0]
+
+    assert "html" not in read_schema(False)
+    assert "html" in read_schema(True)
