@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) over the pure-pandas core — no
+Spark session, so these are fast and run wide input spaces: arbitrary
+unicode must never crash the scorers, and every fraction/stat must stay
+in its domain."""
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pcornet_data_curation_spark.functions.scrub import scrub_text_py
+from pcornet_data_curation_spark.functions.textcore import (
+    doc_stats_frame,
+    langid_scores,
+    perplexity,
+    tokenize,
+)
+
+text_strategy = st.text(max_size=400)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_doc_stats_domains(text):
+    row = doc_stats_frame(pd.Series([text])).iloc[0]
+    assert row["n_chars"] == len(text)
+    assert row["n_tokens"] == len(tokenize(text))
+    for frac in (
+        "alpha_word_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "dup_line_frac",
+        "dup_5gram_char_frac",
+        "top_2gram_char_frac",
+    ):
+        assert 0.0 <= row[frac] <= 1.0, frac
+    assert row["mean_word_len"] >= 0.0
+    assert row["symbol_word_ratio"] >= 0.0
+    assert row["stopword_count"] >= 0
+    assert row["lang_conf"] >= 0.0 and row["lang_conf"] <= 1.0
+    assert row["ppl"] > 0.0 and math.isfinite(row["ppl"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_batch_equals_per_doc_scorers(text):
+    # the batch path used on executors must agree with the per-doc
+    # functions for ANY input, not just the fixture
+    row = doc_stats_frame(pd.Series([text])).iloc[0]
+    lang, conf = langid_scores(text)
+    assert row["lang_pred"] == lang
+    assert abs(row["lang_conf"] - conf) < 1e-12
+    assert abs(row["ppl"] - perplexity(text)) < 1e-9 * max(1.0, perplexity(text))
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_strategy)
+def test_scrub_idempotent_and_total(text):
+    once = scrub_text_py(text)
+    assert once is not None
+    # scrubbing already-scrubbed text must not rewrite placeholders
+    assert scrub_text_py(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(text_strategy, max_size=20))
+def test_doc_stats_batch_matches_singletons(texts):
+    if not texts:
+        return
+    batch = doc_stats_frame(pd.Series(texts))
+    for i, t in enumerate(texts):
+        single = doc_stats_frame(pd.Series([t])).iloc[0]
+        got = batch.iloc[i]
+        assert got["lang_pred"] == single["lang_pred"]
+        assert got["n_tokens"] == single["n_tokens"]
+        assert abs(got["ppl"] - single["ppl"]) < 1e-9 * max(1.0, single["ppl"])
