@@ -127,20 +127,24 @@ def lookback_filter(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The full row-level transform chain (stages 0-5), lazily planned."""
     df = lookback_filter(pages, cfg)
+    # consume html AT THE SCAN: extraction_ok is derived here and html
+    # dropped immediately, so the wide binary column never rides the
+    # (bucket, salt) shuffle or the Arrow round-trip of the scoring UDF
+    # (measured: carrying it through cost ~3x on the curation pass)
+    extraction_ok = (
+        extraction_consistent_col() if cfg.check_extraction else F.lit(True)
+    )
+    df = df.select(
+        "url", "warc_ts", "text", "lang", extraction_ok.alias("extraction_ok")
+    )
     df = salted_repartition(df, cfg)
     df = with_doc_stats(df)
     df = with_verdict(df, cfg.rule_overrides)
     flag_cols = [R.flag_name(r) for r in R.active_rules(cfg.rule_overrides)]
-    # scrub_hit / extraction_ok recorded here because the raw text and
-    # html columns are dropped from the curated table (reports never
-    # need them again). extraction_ok is config-gated: it is the ONLY
-    # consumer of html, so disabling it removes html from the scan.
+    # scrub_hit recorded here because the raw text column is dropped
+    # from the curated table (reports never need it again);
+    # extraction_ok was derived at the scan (html never left stage 0)
     scrub_hit = ~F.col("scrubbed_text").eqNullSafe(F.col("text"))
-    extraction_ok = (
-        extraction_consistent_col()
-        if cfg.check_extraction
-        else F.lit(True)
-    )
     return df.select(
         "url",
         "warc_ts",
@@ -150,7 +154,7 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         *flag_cols,
         "keep",
         scrub_hit.alias("scrub_hit"),
-        extraction_ok.alias("extraction_ok"),
+        "extraction_ok",
         "scrubbed_text",
     )
 
