@@ -348,15 +348,6 @@ def _dup_pairs_block_matmul(base: DataFrame, threshold: float, block_size: int) 
     return work.groupBy("pair_idx").applyInPandas(compute, _PAIR_DDL)
 
 
-def _cosine_expr(a: str, b: str):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
-
-
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
