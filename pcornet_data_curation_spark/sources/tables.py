@@ -54,6 +54,26 @@ def write_table(
     w.parquet(ref)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a catalog table bucketed (and optionally sorted) by the
+    join key — the reference's 'sort once, reuse for N merge queries'
+    optimization (proc sort reuse, data_curation_tables.sas:1420-1432):
+    two tables bucketed the same way equi-join WITHOUT a shuffle
+    (plan-asserted in tests). At 100 TB this turns every repeated
+    url/patid-keyed join into a zipped scan."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
 def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """CSV export sink (reference &_csv=YES optional export,
     data_curation_print.sas:121-150). single_file coalesces — only for
