@@ -211,6 +211,90 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components over near-dup pairs → canonical survivors
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) labeling of the undirected near-dup graph —
+    component = min node id reachable. Distributed min-label
+    propagation: each round every node adopts the minimum label in its
+    closed neighborhood (one shuffle per round); label paths contract
+    through the already-minimized neighbor labels, converging in
+    O(diameter) ≤ O(log n) rounds on dedup graphs (clusters are dense).
+    The driver loop only checks a scalar convergence count per round —
+    no graph data ever reaches the driver.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    sym = sym.repartition("src").cache()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        # min over the closed neighborhood {self} ∪ neighbors' labels
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(sym.src.alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup dedup: MinHash-LSH pairs → connected components →
+    keep the minimum id of every component (non-dup docs survive
+    untouched). Returns the surviving rows of `df`."""
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        threshold=threshold,
+    )
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram jaccard (SQL-expressible — DuckDB oracle exists)
 # ---------------------------------------------------------------------------
 

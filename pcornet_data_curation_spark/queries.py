@@ -926,6 +926,18 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_near_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dedup: MinHash-LSH pairs → distributed
+    connected components → min-id survivor per component (rows-only:
+    the hash family is engine-specific; the component algorithm is
+    union-find-oracle-tested in pytest)."""
+    from pcornet_data_curation_spark.operators.dedup import near_dedup_survivors
+
+    return near_dedup_survivors(_docs_with_dups(spark, sf_dir), threshold=0.9).select(
+        "doc_id"
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     """Whitespace/case-normalized xxhash64 content fingerprints
     (rows-only: hash function is Spark-specific)."""
@@ -1282,6 +1294,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "duplicate_groups": (q_duplicate_groups, SQL_DUPLICATE_GROUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh_pairs": (q_minhash_pairs, None),
+    "near_dedup_survivors": (q_near_dedup_survivors, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "fingerprint": (q_fingerprint, None),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -95,3 +95,42 @@ def test_exact_dedup_vs_duckdb_on_documents(spark):
             select count(*) from s"""
     ).fetchone()[0]
     assert got == want
+
+
+def test_connected_components_vs_union_find(spark):
+    from pcornet_data_curation_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4), (40, 41)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    # oracle: plain union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_near_dedup_survivors(spark, docs):
+    from pcornet_data_curation_spark.operators.dedup import near_dedup_survivors
+
+    # DOCS fixture: 1=2 exact dups, 3 near-dup of them, 4/5 unique,
+    # 6=None and 7="" (empty docs carry identical all-MAX signatures,
+    # so they form their own component — min id 6 survives)
+    out = near_dedup_survivors(docs, threshold=0.5).toPandas()
+    ids = set(out["doc_id"])
+    assert ids == {1, 4, 5, 6}

@@ -20,6 +20,7 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "minhash_lsh_pairs",
+        "near_dedup_survivors",
         "simhash_pairs",
         "fingerprint",
         "scrub_full",
