@@ -361,6 +361,10 @@ def run_pipeline(
     lineage_path = os.path.join(out, "lineage")
     tracker.to_df(spark).write.mode("append").parquet(lineage_path)
 
+    from pcornet_data_curation_spark.operators.report_render import render_run_report
+
+    report_md = render_run_report(spark, out)
+
     stats = {
         "buckets_done": len(done_buckets),
         "buckets_processed_now": len(pending),
@@ -374,6 +378,7 @@ def run_pipeline(
         "exceptions": exceptions_path,
         "completeness": completeness_path,
         "lineage": lineage_path,
+        "report_md": report_md,
         "manifest": manifest.path,
         "stats": stats,
     }

@@ -150,3 +150,25 @@ def test_extraction_check_flags_planted_mismatches(spark, tmp_path):
 
     assert "html" not in read_schema(False)
     assert "html" in read_schema(True)
+
+
+def test_run_report_markdown(spark, tmp_path):
+    from pcornet_data_curation_spark.config import PipelineConfig
+    from pcornet_data_curation_spark.datagen.pages import pages_df
+    from pcornet_data_curation_spark.plans.pipeline import run_pipeline
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "out"), n_buckets=4)
+    res = run_pipeline(spark, pages_df(spark, 300, partitions=2), cfg)
+    md = open(res["report_md"]).read()
+    for section in (
+        "# Curation run report",
+        "## Run metadata",
+        "## Verdict",
+        "## Data checks",
+        "## Completeness",
+        "## Rule fail rates",
+        "## Language distribution",
+        "## Stage timings",
+    ):
+        assert section in md, section
+    assert "spark_version" in md
