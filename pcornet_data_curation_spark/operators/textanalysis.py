@@ -101,6 +101,29 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to the Java∩RE2 dialect (no
+# lookarounds, explicit ASCII classes): contractions, optional-space
+# letter runs, digit runs, symbol runs, whitespace runs. Token count =
+# number of matches — the BPE-ish budget estimate for LLM training data.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f\x0B]+"
+    r"|[ \t\n\r\f\x0B]+"
+)
+
+
+def bpe_token_count(col):
+    """Number of BPE-ish pre-tokenizer matches (JVM regexp_extract_all,
+    exact SQL twin via DuckDB regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), bpe_token_count(F.col(text_col)).alias("bpe_tokens"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace/case-normalized 64-bit content fingerprint — exact-dup
     detection robust to formatting (xxhash64: Spark-side only)."""

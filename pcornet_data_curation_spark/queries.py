@@ -962,6 +962,20 @@ FROM documents
 """
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer token budget per document (driver brief:
+    'token counting (whitespace + a BPE-ish regex)')."""
+    return TA.with_bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''),
+           '{TA.BPE_ISH_PATTERN.replace("'", "''")}')) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_quality_score(spark, sf_dir):
     """Composite quality score (length/punct/stopword bands)."""
     return TA.quality_score(_t(spark, sf_dir, "documents"))
@@ -1298,6 +1312,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_pairs": (q_simhash_pairs, None),
     "fingerprint": (q_fingerprint, None),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "scrub_email": (q_scrub_email, SQL_SCRUB_EMAIL),

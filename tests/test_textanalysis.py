@@ -89,3 +89,21 @@ def test_rolling_fingerprint_order_sensitive():
     # whitespace-normalization robustness
     assert rolling_fingerprint("the  quick\tbrown\nfox") == a
     assert hamming64(0b1011, 0b0010) == 2
+
+
+def test_bpe_token_count_behaviour(spark):
+    from pcornet_data_curation_spark.operators.textanalysis import with_bpe_token_count
+
+    rows = [
+        (1, "hello world"),          # 2 word tokens
+        (2, "it's fine"),            # it + 's + fine
+        (3, "abc123!?"),             # letters + digits + symbols
+        (4, ""),                     # empty
+        (5, None),                   # null-as-empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_tokens"] for r in with_bpe_token_count(df).collect()}
+    assert got[1] == 2
+    assert got[2] == 3
+    assert got[3] == 3
+    assert got[4] == 0 and got[5] == 0
