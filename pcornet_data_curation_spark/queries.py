@@ -679,6 +679,57 @@ FROM events GROUP BY event_type
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (window functions: lag + running sum —
+    beyond the reference's window idioms, SURVEY §2.5): a new session
+    starts after >30 min of user inactivity; per (user, session) emit
+    event count and span seconds."""
+    ev = _t(spark, sf_dir, "events")
+    # integer MICROSECONDS on both engines (unix_micros / epoch_us):
+    # whole-second casts would truncate differently than DuckDB's
+    # fractional epoch(); gaps/spans only use differences, so any
+    # session-timezone shift of the absolute epoch cancels out
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_us", us)
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_n"),
+        (F.max("_us") - F.min("_us")).alias("span_us"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS events_n,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
 _DASH_RUN = "2024-01-31"
 _DASH_WINDOWS = [("last_7d", "2024-01-24"), ("last_14d", "2024-01-17"), ("last_30d", "2024-01-01")]
 
@@ -1297,6 +1348,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     "anti_orphan_events": (q_anti_orphan_events, SQL_ANTI_ORPHAN_EVENTS),
     "window_latest_event": (q_window_latest_event, SQL_WINDOW_LATEST_EVENT),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "topn_sources": (q_topn_sources, SQL_TOPN_SOURCES),
     "union_provenance": (q_union_provenance, SQL_UNION_PROVENANCE),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS_STATS),
