@@ -66,6 +66,7 @@ def tag_profile(
     cols: list[str],
     dataset: str = "",
     valid_exprs: dict[str, object] | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """One row per column: all_n, distinct_n, null_n, valid_n,
     valid_distinct_n (reference %tag, data_curation_base.sas:549-795).
@@ -74,14 +75,19 @@ def tag_profile(
     aggregation); the wide agg row is unpivoted with `stack`.
     valid_exprs maps column -> boolean Column defining validity; absent
     columns get valid_n = all_n semantics of the reference's _n tag.
+    approx=True switches distinct counts to HyperLogLog
+    (approx_count_distinct) — the 10^12-row path where per-key exact
+    shuffles aren't worth it and the value isn't oracle-compared;
+    default is EXACT (reference outputs are compared verbatim, SURVEY §7).
     """
     valid_exprs = valid_exprs or {}
+    cd = F.approx_count_distinct if approx else F.countDistinct
     aggs = []
     for c in cols:
         v = valid_exprs.get(c)
         aggs += [
             F.count(F.col(c)).alias(f"{c}__all_n"),
-            F.countDistinct(F.col(c)).alias(f"{c}__distinct_n"),
+            cd(F.col(c)).alias(f"{c}__distinct_n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null_n"),
             (
                 F.sum(F.when(v, 1).otherwise(0)).alias(f"{c}__valid_n")
@@ -89,9 +95,9 @@ def tag_profile(
                 else F.count(F.col(c)).alias(f"{c}__valid_n")
             ),
             (
-                F.countDistinct(F.when(v, F.col(c))).alias(f"{c}__valid_distinct_n")
+                cd(F.when(v, F.col(c))).alias(f"{c}__valid_distinct_n")
                 if v is not None
-                else F.countDistinct(F.col(c)).alias(f"{c}__valid_distinct_n")
+                else cd(F.col(c)).alias(f"{c}__valid_distinct_n")
             ),
         ]
     wide = df.agg(*aggs)

@@ -174,3 +174,13 @@ def test_cont_stats_null_group_row(spark):
     nullrow = got[got["g"].isna()]
     assert len(nullrow) == 1
     assert nullrow["n"].iloc[0] == 1 and nullrow["nmiss"].iloc[0] == 1
+
+
+def test_tag_profile_approx_mode(spark, orders):
+    from pcornet_data_curation_spark.operators.reports import tag_profile
+
+    exact = tag_profile(orders, ["o_custkey"]).toPandas().iloc[0]
+    approx = tag_profile(orders, ["o_custkey"], approx=True).toPandas().iloc[0]
+    assert exact["all_n"] == approx["all_n"]
+    # HLL within 5% of exact on this cardinality
+    assert abs(approx["distinct_n"] - exact["distinct_n"]) <= 0.05 * exact["distinct_n"]
