@@ -91,6 +91,30 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def ivf_fit_sample(
+    df: DataFrame,
+    max_sample: int = 100_000,
+    sample_every: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Deterministic BOUNDED fit sample: at most ~max_sample rows reach
+    the driver regardless of table size. The stride is sized from a
+    count (a metadata-cheap parquet aggregate), rows are picked by a
+    seeded xxhash64 of the id (uniform even for strided/clustered ids),
+    and a .limit(max_sample) backstops skewed id spaces — so at 10^12
+    rows the driver still sees ~max_sample vectors, not n/7."""
+    n = df.select(id_col).count()
+    stride = max(int(sample_every), -(-n // max_sample))  # ceil div
+    return (
+        df.where(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(stride)) == 0)
+        .select(F.col(vec_col).cast("array<double>"))
+        .limit(max_sample)
+        .toPandas()
+    )
+
+
 def ivf_fit(
     df: DataFrame,
     n_centroids: int = 16,
@@ -99,18 +123,15 @@ def ivf_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_sample: int = 100_000,
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: spherical k-means on a
-    deterministic sample (every `sample_every`-th id — no RNG state),
-    numpy on the driver. Initial centroids are the sample rows picked
-    by a splitmix counter hash of `seed`, so fits are reproducible
-    across runs and machines. Returns (n_centroids, dim) L2-normalized
-    centroids."""
-    sample = (
-        df.where(F.col(id_col) % sample_every == 0)
-        .select(F.col(vec_col).cast("array<double>"))
-        .toPandas()
-    )
+    """Deterministic coarse quantizer: spherical k-means on a bounded
+    deterministic sample (see ivf_fit_sample — capped at max_sample
+    rows on the driver, never O(n)), numpy on the driver. Initial
+    centroids are the sample rows picked by a splitmix counter hash of
+    `seed`, so fits are reproducible across runs and machines. Returns
+    (n_centroids, dim) L2-normalized centroids."""
+    sample = ivf_fit_sample(df, max_sample, sample_every, vec_col, id_col, seed)
     mat = _normalize_rows(np.vstack(sample.iloc[:, 0].to_numpy()))
     k = min(n_centroids, len(mat))
     idx = sorted(

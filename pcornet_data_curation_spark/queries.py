@@ -316,8 +316,8 @@ SELECT 'ts' AS variable,
        COUNT(*) FILTER (ts IS NULL) AS nmiss,
        strftime(MIN(ts), '%Y_%m') AS min_ym,
        strftime(MAX(ts), '%Y_%m') AS max_ym,
-       COALESCE(SUM(CASE WHEN ts < TIMESTAMP '1900-01-01' THEN 1 ELSE 0 END), 0) AS implausible_n,
-       COALESCE(SUM(CASE WHEN ts > TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END), 0) AS future_n
+       CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '1900-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT) AS implausible_n,
+       CAST(COALESCE(SUM(CASE WHEN ts > TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END), 0) AS BIGINT) AS future_n
 FROM events
 """
 
@@ -672,7 +672,7 @@ def q_json_props_stats(spark, sf_dir):
 SQL_JSON_PROPS_STATS = """
 SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
@@ -720,8 +720,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS events_n,
@@ -799,7 +799,7 @@ WITH per_order AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY o_orderkey, o_orderstatus
 )
-SELECT o_orderstatus, COUNT(*) AS orders_n, SUM(late) AS late_orders_n
+SELECT o_orderstatus, COUNT(*) AS orders_n, CAST(SUM(late) AS BIGINT) AS late_orders_n
 FROM per_order GROUP BY o_orderstatus
 """
 
@@ -829,8 +829,8 @@ WITH m AS (
   SELECT l_orderkey, MIN(l_shipdate) AS min_ship FROM lineitem GROUP BY 1
 )
 SELECT COUNT(*) AS orders_n,
-       SUM(CASE WHEN min_ship > o_orderdate + INTERVAL 60 DAY
-                THEN 1 ELSE 0 END) AS slow_first_ship_n
+       CAST(SUM(CASE WHEN min_ship > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS slow_first_ship_n
 FROM m JOIN orders ON l_orderkey = o_orderkey
 """
 
@@ -1174,7 +1174,7 @@ SQL_RULE_FLAGS_SUMMARY = (
     + "\n"
     + " UNION ALL ".join(
         f"""
-SELECT '{rid}' AS rule_id, SUM(flag_{rid}) AS fail_n,
+SELECT '{rid}' AS rule_id, CAST(SUM(flag_{rid}) AS BIGINT) AS fail_n,
        CASE WHEN COUNT(*) > 0
             THEN FLOOR(SUM(flag_{rid}) * 10000.0 / COUNT(*)) / 100.0
             ELSE 0.0 END AS fail_pct

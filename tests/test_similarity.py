@@ -96,3 +96,27 @@ def test_ivf_topk_recall(spark):
     assert r4 >= r1
     assert r4 >= 0.6  # measured 0.7 on this fixture; floor with margin
     assert 7 in got1  # the query's own cell is always probed first
+
+
+def test_ivf_fit_sample_bounded(spark):
+    """The fit sample reaching the driver is capped at max_sample rows
+    no matter how large the table is (VERDICT r1 item 2: the old
+    `id % 7` filter pulled n/7 rows — unbounded at 10^12)."""
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_fit,
+        ivf_fit_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    cap = 50
+    assert n > 7 * cap  # table big enough that the old scheme would exceed cap
+    sample = ivf_fit_sample(emb, max_sample=cap)
+    assert 0 < len(sample) <= cap
+    # stride sizing keeps the sample near (not just under) the cap
+    assert len(sample) >= cap // 4
+    # bounded fit still yields a usable, deterministic quantizer
+    c1 = ivf_fit(emb, n_centroids=8, max_sample=cap)
+    c2 = ivf_fit(emb, n_centroids=8, max_sample=cap)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)

@@ -42,9 +42,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(s):
             out[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("float64")  # int/long width-insensitive
+            # int64, NOT float64: the driver's value-hash is typed, so a
+            # DuckDB HUGEINT vs Spark bigint divergence must FAIL here
+            # too, and values >2^53 (xxhash64, big ids) must not lose
+            # precision. astype would wrap silently on overflow, so
+            # round-trip check it.
+            v = s.astype("int64")
+            if not (v.astype(s.dtype) == s).all():
+                raise OverflowError(f"column {c}: value outside int64")
+            out[c] = v
         elif pd.api.types.is_bool_dtype(s):
-            out[c] = s.astype("float64")
+            out[c] = s.astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]").astype("int64").astype("float64")
         else:
@@ -55,11 +63,30 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "int"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
 def equal_frames(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if sorted(a.columns) != sorted(b.columns):
         return False, f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
     if len(a) != len(b):
         return False, f"rows {len(a)} vs {len(b)}"
+    # typed gate: an int column on one side vs float on the other (e.g.
+    # DuckDB widening SUM(int) to HUGEINT->float64) fails the driver's
+    # value-hash even when values agree — replicate that strictness
+    for c in sorted(a.columns):
+        ka, kb = _kind(a[c]), _kind(b[c])
+        if ka != kb:
+            return False, f"col {c} dtype kind: spark={ka} oracle={kb}"
     na, nb = normalize(a), normalize(b)
     for c in na.columns:
         x, y = na[c].to_numpy(), nb[c].to_numpy()
