@@ -42,6 +42,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "embedding_topk",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
+    "ivf_topk",
     "verdict_documents",
     "scrub_full",
     "langid_heuristic",

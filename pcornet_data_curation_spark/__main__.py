@@ -45,6 +45,16 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--partitions", type=int, default=64)
     g.add_argument("--cores", type=int, default=None)
+    q = sub.add_parser(
+        "queries",
+        help="run a registry query group (the reference's part1/part2 split, "
+        "sasprograms/02_run_queries.sas:80-81)",
+    )
+    q.add_argument("--sf-dir", required=True, help="parquet table dir (sfN testdata layout)")
+    q.add_argument("--part", default="all", choices=["part1", "part2", "all"])
+    q.add_argument("--queries", default=None, help="comma-separated explicit query names")
+    q.add_argument("--output", default=None, help="write each result to <output>/<name> (default: noop sink)")
+    q.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
     from pcornet_data_curation_spark.session import get_spark
@@ -58,6 +68,33 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.output)
         print(json.dumps({"written": args.output, "rows": args.n}))
+        return 0
+
+    if args.cmd == "queries":
+        import os
+
+        from pcornet_data_curation_spark.queries import QUERY_GROUPS, queries
+
+        qs = queries()
+        if args.queries:
+            names = [n.strip() for n in args.queries.split(",") if n.strip()]
+            unknown = [n for n in names if n not in qs]
+            if unknown:
+                raise SystemExit(f"unknown queries: {unknown}")
+        elif args.part == "all":
+            names = list(qs)
+        else:
+            names = list(QUERY_GROUPS[args.part])
+        counts = {}
+        for name in names:
+            df = qs[name](spark, args.sf_dir)
+            if args.output:
+                path = os.path.join(args.output, name)
+                df.write.mode("overwrite").parquet(path)
+                counts[name] = spark.read.parquet(path).count()
+            else:
+                counts[name] = df.count()
+        print(json.dumps({"part": args.part, "queries_run": len(names), "rows": counts}))
         return 0
 
     # run / resume share the same path: run_pipeline consults the

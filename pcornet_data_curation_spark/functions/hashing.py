@@ -8,7 +8,7 @@ deterministic across executors.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 
@@ -30,14 +30,16 @@ def _splitmix64_int(x: int) -> int:
 
 
 def hash64_str(s: str, seed: int = 0) -> int:
-    """Deterministic 64-bit string hash: two independent CRC32 streams
-    (zlib, C speed — the per-byte Python FNV loop was the minhash hot
-    path) combined and splitmix-finalized. NOT Spark's xxhash64 — used
-    only where both sides share this code."""
-    b = s.encode("utf-8")
-    lo = zlib.crc32(b, seed & 0xFFFFFFFF)
-    hi = zlib.crc32(b, (seed ^ 0x9E3779B9) & 0xFFFFFFFF)
-    return _splitmix64_int(((hi << 32) | lo) & MASK64)
+    """Deterministic seeded 64-bit string hash: keyed blake2b truncated
+    to 8 bytes (hashlib, C speed — the per-byte Python FNV loop was the
+    minhash hot path; blake2b also beats the earlier double-CRC32,
+    whose two streams were GF(2)-affine to each other and carried only
+    ~32 bits of entropy per message length). NOT Spark's xxhash64 —
+    used only where both sides share this code."""
+    h = hashlib.blake2b(
+        s.encode("utf-8"), digest_size=8, key=(seed & MASK64).to_bytes(8, "little")
+    )
+    return int.from_bytes(h.digest(), "little")
 
 
 def word_shingles(text: str | None, k: int = 3) -> list[str]:

@@ -254,9 +254,14 @@ def langid_scores_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
 _PPL_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 _PPL_INDEX = {c: i for i, c in enumerate(_PPL_ALPHABET)}
 # byte → alphabet index (-1 = out of alphabet). Operating on UTF-8
-# bytes instead of characters is pair-equivalent: a valid (both-in-
-# alphabet) pair is ASCII-adjacent in both views, multi-byte chars only
-# widen the already-invalid gaps.
+# bytes instead of characters is EXACTLY pair-equivalent, including for
+# non-ASCII text: (1) the alphabet is pure ASCII and UTF-8 multi-byte
+# sequences use only bytes ≥ 0x80, so no continuation byte can alias an
+# in-alphabet character; (2) two alphabet chars are string-adjacent iff
+# their bytes are adjacent; (3) a multi-byte char only adds extra
+# INVALID pairs, and invalid pairs are masked out BEFORE lp.mean(), so
+# they never enter the average or shift the OOV share. Pinned by
+# test_textcore.test_perplexity_byte_vs_char_indexing.
 _PPL_LUT = np.full(256, -1, dtype=np.int64)
 for _i, _ch in enumerate(_PPL_ALPHABET):
     _PPL_LUT[ord(_ch)] = _i

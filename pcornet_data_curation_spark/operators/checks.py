@@ -25,14 +25,53 @@ class Check:
     threshold: float
     severity: str = "red"  # red | blue (reference severity coloring)
     category: str | None = None  # optional category filter
+    family: str = "general"  # check family (reference DC groups)
 
 
+# Registry modeled on the reference's Data Checks v20 families
+# (edc_report.sas:865-907 threshold table, :11303-11311 numbered
+# checks): run-viability, per-column conformance, uniqueness, scrub,
+# extraction, value distribution, temporal plausibility, continuous
+# stats, and per-bucket rule behavior. A check without `category`
+# applies to EVERY metric row of its (dc_name, statistic) — e.g. 9.01
+# fires per (bucket, rule) — which is the per-partition conformance
+# shape the north rule asks for.
 DEFAULT_CHECKS: tuple[Check, ...] = (
-    Check("1.01", "keep rate implausibly low", "verdict_summary", "keep_pct", "lt", 10.0, "red"),
-    Check("1.02", "keep rate implausibly high", "verdict_summary", "keep_pct", "gt", 99.5, "blue"),
-    Check("2.01", "null url fraction", "pages_tag", "null_n", "gt", 0.0, "red", category="curated|url"),
-    Check("2.02", "duplicate urls present", "url_unique", "dup_url_n", "gt", 0.0, "blue"),
-    Check("3.01", "scrub hit-rate suspicious", "scrub_summary", "scrub_pct", "gt", 50.0, "blue"),
+    # -- 1.x run viability (verdict_summary) ------------------------------
+    Check("1.01", "keep rate implausibly low", "verdict_summary", "keep_pct", "lt", 10.0, "red", family="viability"),
+    Check("1.02", "keep rate implausibly high", "verdict_summary", "keep_pct", "gt", 99.5, "blue", family="viability"),
+    Check("1.03", "run produced no records", "verdict_summary", "records", "lt", 1.0, "red", family="viability"),
+    Check("1.04", "run kept no records", "verdict_summary", "kept", "lt", 1.0, "red", family="viability"),
+    # -- 2.x column conformance (pages_tag %tag profile) -------------------
+    Check("2.01", "null urls present", "pages_tag", "null_n", "gt", 0.0, "red", category="curated|url", family="conformance"),
+    Check("2.02", "null lang_pred present", "pages_tag", "null_n", "gt", 0.0, "blue", category="curated|lang", family="conformance"),
+    Check("2.03", "url cardinality degenerate", "pages_tag", "distinct_n", "lt", 2.0, "red", category="curated|url", family="conformance"),
+    # -- 3.x key uniqueness (url_unique) -----------------------------------
+    Check("3.01", "duplicate urls present", "url_unique", "dup_url_n", "gt", 0.0, "blue", family="uniqueness"),
+    Check("3.02", "no distinct urls", "url_unique", "url_distinct_n", "lt", 1.0, "red", family="uniqueness"),
+    # -- 4.x PII scrub (scrub_summary) -------------------------------------
+    Check("4.01", "scrub hit-rate suspicious", "scrub_summary", "scrub_pct", "gt", 50.0, "blue", family="scrub"),
+    Check("4.02", "scrub hit-rate implausible", "scrub_summary", "scrub_pct", "gt", 90.0, "red", family="scrub"),
+    # -- 5.x extraction fidelity (extraction_summary) ----------------------
+    Check("5.01", "text/html extraction mismatches", "extraction_summary", "mismatch_pct", "gt", 1.0, "blue", family="extraction"),
+    Check("5.02", "extraction mismatch rate high", "extraction_summary", "mismatch_pct", "gt", 10.0, "red", family="extraction"),
+    # -- 6.x value distribution (lang_dist %n_pct) -------------------------
+    Check("6.01", "unidentified-language share high", "lang_dist", "record_pct", "gt", 20.0, "red", category="NULL or missing", family="distribution"),
+    Check("6.02", "languages outside valueset", "lang_dist", "record_n", "gt", 0.0, "blue", category="Values outside of CDM specifications", family="distribution"),
+    Check("6.03", "english share collapsed", "lang_dist", "record_pct", "lt", 1.0, "blue", category="en", family="distribution"),
+    # -- 7.x temporal plausibility (warc_minmax / warc_ym_dist) ------------
+    Check("7.01", "pre-1900 timestamps present", "warc_minmax", "implausible_n", "gt", 0.0, "red", category="warc_ts", family="temporal"),
+    Check("7.02", "future timestamps present", "warc_minmax", "future_n", "gt", 0.0, "red", category="warc_ts", family="temporal"),
+    Check("7.03", "all timestamps missing", "warc_minmax", "n", "lt", 1.0, "red", category="warc_ts", family="temporal"),
+    Check("7.04", "empty month inside observed range", "warc_ym_dist", "record_n", "lt", 1.0, "blue", family="temporal"),
+    # -- 8.x continuous stats (tokens_by_keep / ppl_stats %cont) -----------
+    Check("8.01", "kept docs suspiciously short", "tokens_by_keep", "mean", "lt", 30.0, "blue", category="true", family="continuous"),
+    Check("8.02", "kept doc with zero tokens", "tokens_by_keep", "min", "lt", 1.0, "red", category="true", family="continuous"),
+    Check("8.03", "perplexity mean implausible", "ppl_stats", "mean", "gt", 300.0, "red", family="continuous"),
+    Check("8.04", "perplexity tail heavy", "ppl_stats", "p95", "gt", 600.0, "blue", family="continuous"),
+    # -- 9.x per-bucket rule behavior (rule_summary) -----------------------
+    Check("9.01", "rule rejects nearly everything in a bucket", "rule_summary", "fail_pct", "gt", 95.0, "blue", family="rules"),
+    Check("9.02", "empty bucket", "rule_summary", "records", "lt", 1.0, "red", family="rules"),
 )
 
 
@@ -57,11 +96,11 @@ def run_checks(metrics: DataFrame, checks: tuple[Check, ...] = DEFAULT_CHECKS) -
     spark = metrics.sparkSession
     reg = spark.createDataFrame(
         [
-            (c.check_id, c.description, c.dc_name, c.statistic, c.op, float(c.threshold), c.severity, c.category)
+            (c.check_id, c.description, c.dc_name, c.statistic, c.op, float(c.threshold), c.severity, c.category, c.family)
             for c in checks
         ],
         "check_id string, description string, dc_name string, statistic string, "
-        "op string, threshold double, severity string, category string",
+        "op string, threshold double, severity string, category string, family string",
     )
     m = metrics.select(
         F.col("dc_name"), F.col("statistic"), F.col("category").alias("m_category"), F.col("resultn")
@@ -83,11 +122,13 @@ def run_checks(metrics: DataFrame, checks: tuple[Check, ...] = DEFAULT_CHECKS) -
     )
     return joined.select(
         reg.check_id,
+        reg.family,
         reg.description,
         reg.dc_name,
+        F.col("m_category").alias("category"),
         reg.statistic,
         reg.threshold,
         obs.alias("observed"),
         F.coalesce(exc, F.lit(False)).alias("exception"),
         reg.severity,
-    ).orderBy("check_id")
+    ).orderBy("check_id", "category")

@@ -93,6 +93,12 @@ def minhash_lsh_pairs(
     sigged = with_minhash(df, text_col, num_perm, k, seed).select(
         F.col(id_col).alias("_id"), "minhash"
     )
+    # signatures are read three times below (band hashing + the two
+    # candidate rejoins); persist so the pandas-UDF signature pass runs
+    # once. At real scale you'd write the signature table out instead;
+    # the cached blocks are freed by the ContextCleaner when the frame
+    # is garbage collected.
+    sigged = sigged.persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -110,8 +116,13 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigged.select("_id", "minhash", F.explode(band_structs).alias("bs")).select(
-        "_id", "minhash", F.col("bs.band").alias("band"), F.col("bs.bhash").alias("bhash")
+    # ids-only banding: the band self-join shuffles (band, bhash, _id)
+    # rows — 24 bytes each — NOT the num_perm-long signature ×bands×2
+    # sides (512 bytes riding the shuffle 32× per doc in the old shape).
+    # Signatures rejoin once per SURVIVING candidate pair, mirroring the
+    # set-size rejoin in ngram_jaccard_pairs below.
+    banded = sigged.select("_id", F.explode(band_structs).alias("bs")).select(
+        "_id", F.col("bs.band").alias("band"), F.col("bs.bhash").alias("bhash")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -125,10 +136,16 @@ def minhash_lsh_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l.minhash").alias("sig_a"),
-            F.col("r.minhash").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sigged.select(F.col("_id").alias("id_a"), F.col("minhash").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigged.select(F.col("_id").alias("id_b"), F.col("minhash").alias("sig_b")),
+            "id_b",
+        )
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
@@ -224,11 +241,14 @@ def connected_components(
     """(node, component) labeling of the undirected near-dup graph —
     component = min node id reachable. Distributed min-label
     propagation: each round every node adopts the minimum label in its
-    closed neighborhood (one shuffle per round); label paths contract
-    through the already-minimized neighbor labels, converging in
-    O(diameter) ≤ O(log n) rounds on dedup graphs (clusters are dense).
-    The driver loop only checks a scalar convergence count per round —
-    no graph data ever reaches the driver.
+    closed neighborhood (one shuffle per round). Convergence takes
+    O(component diameter) rounds — near-dup clusters are dense (small
+    diameter) so typically <10 rounds, but a pathological chain needs
+    one round per hop; if max_iter rounds pass with labels still
+    changing the function RAISES rather than returning silently
+    under-merged components. The driver loop only checks a scalar
+    convergence count per round — no graph data ever reaches the
+    driver.
     """
     spark = pairs.sparkSession
     edges = (
@@ -246,6 +266,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .cache()
     )
+    changed = 0
     for _ in range(max_iter):
         # min over the closed neighborhood {self} ∪ neighbors' labels
         neigh = (
@@ -269,6 +290,12 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; returning "
+            "the partial labeling would silently keep duplicates"
+        )
     return labels
 
 
@@ -305,10 +332,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact jaccard over word-k-shingle SETS via explode + self-join on
     shingle (shuffle keyed by shingle ⇒ no cross join). Pure Column
     algebra: the shingling itself is sentence-split/transform JVM code.
+
+    `max_shingle_df`: drop shingles occurring in more than this many
+    documents before the self-join. A shingle in m docs yields m² join
+    rows, so on webtext a boilerplate shingle ("all rights reserved …")
+    is a quadratic hot key; capping document frequency bounds each
+    shingle group at max_shingle_df² rows. Intersections then count
+    only sub-cap shingles while union sizes stay full-set, so reported
+    jaccard is a LOWER bound — pairs whose similarity is carried by
+    non-boilerplate shingles are unaffected. None (default) = exact;
+    at webtext scale prefer a cap (or MinHash-LSH, the designed scale
+    path for this family).
     """
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f\\x0B]+", " ")), " ")
     n = F.size(toks)
@@ -332,6 +371,17 @@ def ngram_jaccard_pairs(
         "_id",
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        # document-frequency filter: one extra (shingle)-keyed agg —
+        # map-side-combinable — in exchange for removing the quadratic
+        # hot-shingle groups from the self-join
+        rare = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(rare, "shingle", "left_semi")
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")))
@@ -371,7 +421,9 @@ def ngram_jaccard_pairs(
 _PAIR_DDL = "id_a long, id_b long, cosine double"
 
 
-def _dup_pairs_block_matmul(base: DataFrame, threshold: float, block_size: int) -> DataFrame:
+def _dup_pairs_block_matmul(
+    base: DataFrame, threshold: float, block_size: int, n: int | None = None
+) -> DataFrame:
     """Exact all-pairs cosine via a block grid: vectors are hashed into
     nb = ceil(n/block_size) blocks; every (bi ≤ bj) block pair becomes
     one applyInPandas group computing a BLAS matmul A @ B.T and emitting
@@ -382,7 +434,8 @@ def _dup_pairs_block_matmul(base: DataFrame, threshold: float, block_size: int) 
     import numpy as np
 
     spark = base.sparkSession
-    n = base.count()
+    if n is None:
+        n = base.count()
     if n == 0:
         return spark.createDataFrame([], _PAIR_DDL)
     nb = max(1, math.ceil(n / block_size))
@@ -440,6 +493,8 @@ def embedding_dup_pairs(
     n_planes: int = 0,
     seed: int = 42,
     block_size: int = 512,
+    dim: int | None = None,
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
@@ -447,10 +502,21 @@ def embedding_dup_pairs(
     (applyInPandas): O(n²·d) flops run as BLAS inside Arrow batches,
     ~50× the throughput of evaluating an interpreted per-pair fold
     expression in a nested-loop join. Each block pair is one task →
-    the n²/block_size² grid parallelizes across executors.
+    the n²/block_size² grid parallelizes across executors. The grid is
+    still quadratic in n, so above `max_exact_rows` the call
+    AUTO-ROUTES to the sign-LSH path (12 planes) rather than silently
+    running O(n²) — pass max_exact_rows=0 to force exact.
     n_planes>0: sign-LSH bucketing first (scale path): only pairs
     agreeing on all plane signs are compared — a bucket-keyed equi-join
-    that avoids the quadratic grid entirely.
+    that avoids the quadratic grid entirely. For high thresholds
+    (≥0.9) the sign agreement rate per plane is ≥ 1-acos(θ)/π ≈ 0.9,
+    so recall with 12 planes is ≈ 0.9^12 ≈ 0.28 per probe table —
+    production use stacks multiple seeds (union of pair sets), same
+    shape as MinHash banding.
+
+    `dim` is the vector dimensionality, needed only for the LSH path;
+    when omitted it is read with a one-row probe (avoid on large
+    tables — pass it, it's in your table's contract).
 
     Vectors are L2-normalized up front in both paths (one projection),
     so the pair stage computes a single dot product.
@@ -461,8 +527,13 @@ def embedding_dup_pairs(
         "_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
     )
     if n_planes == 0:
-        return _dup_pairs_block_matmul(base, threshold, block_size)
-    dim = len(base.select("v").first()["v"])
+        n = base.count()
+        if max_exact_rows and n > max_exact_rows:
+            n_planes = 12  # quadratic guard: fall through to the LSH path
+        else:
+            return _dup_pairs_block_matmul(base, threshold, block_size, n=n)
+    if dim is None:
+        dim = len(base.select("v").first()["v"])
     planes = H.hyperplane_signs(dim, n_planes, seed)
     sign_bits = [
         (

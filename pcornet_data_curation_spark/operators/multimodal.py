@@ -1,12 +1,12 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
-partitioning) is real and tested; the actual media decode is stubbed
-because no image/audio libraries exist in this container. Each
-extractor tries the real decoder import and otherwise produces a
-deterministic fake (or raises NotImplementedError when
-`strict=True`), so swapping in PIL/librosa later changes one
-function, not the pipeline.
+partitioning) is real and tested. Header-level decode (format sniff +
+pixel dimensions for PNG / JPEG / GIF) is a REAL pure-Python parser —
+no fakes; full pixel decode (and audio/video) still needs PIL/librosa/
+ffmpeg, which don't exist in this container, so frame_sample remains a
+clearly-marked deterministic stand-in for the batch shape a real
+sampler would use.
 """
 
 from __future__ import annotations
@@ -22,37 +22,93 @@ IMAGE_META_DDL = (
 )
 FRAME_SAMPLE_DDL = "doc_id long, frame_idx int, frame_hash long"
 
+# JPEG start-of-frame markers carrying dimensions: SOF0-SOF15 minus
+# DHT(C4)/JPG(C8)/DAC(CC), per ITU-T T.81 §B.2.2
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = set(range(0xD0, 0xDA)) | {0x01}  # RSTn, SOI/EOI, TEM
 
-def _fake_dims(payload: bytes) -> tuple[int, int]:
-    # deterministic fake: dims derived from content hash
-    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
-    return 64 + (h % 1920), 64 + ((h >> 24) % 1080)
+
+def _png_dims(b: bytes) -> tuple[int, int] | None:
+    """PNG IHDR: 8-byte signature, then the IHDR chunk (4-byte length,
+    'IHDR', width/height as big-endian uint32)."""
+    if len(b) < 24 or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first SOFn: payload is
+    precision(1) + height(2 BE) + width(2 BE)."""
+    i, n = 2, len(b)  # skip SOI
+    while i + 3 < n:
+        if b[i] != 0xFF:
+            return None  # desynchronized
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        i += 2 + seg_len
+    return None
+
+
+def _gif_dims(b: bytes) -> tuple[int, int] | None:
+    """GIF logical screen descriptor: width/height as little-endian
+    uint16 at offset 6."""
+    if len(b) < 10:
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    return (w, h) if w > 0 and h > 0 else None
 
 
 def decode_image_meta(payload: bytes | None, strict: bool = False) -> dict:
-    """Stub decode: returns typed metadata. With PIL installed this
-    would open the payload; here it sniffs magic bytes and fakes dims."""
+    """Header-level image decode: format sniff by magic bytes plus REAL
+    pixel dimensions parsed from the PNG IHDR chunk, the first JPEG
+    SOFn segment, or the GIF screen descriptor (pure Python, no
+    libraries). decode_ok=True only when dimensions were actually
+    parsed. Non-image payloads (or truncated headers) → decode_ok=False
+    with width/height NULL; strict=True raises on those instead."""
     if payload is None:
         return {"n_bytes": 0, "format": None, "width": None, "height": None, "decode_ok": False}
-    try:  # real decoder, if ever present
-        from PIL import Image  # noqa: F401
-
-        raise NotImplementedError("real PIL decode path not wired in this sandbox")
-    except ImportError:
-        pass
-    if strict:
-        raise NotImplementedError("no image decoder available in this environment")
-    fmt = (
-        "png"
-        if payload[:8] == b"\x89PNG\r\n\x1a\n"
-        else "jpeg"
-        if payload[:2] == b"\xff\xd8"
-        else "html"
-        if payload[:5] == b"<html"
-        else "bin"
-    )
-    w, h = _fake_dims(payload)
-    return {"n_bytes": len(payload), "format": fmt, "width": w, "height": h, "decode_ok": True}
+    dims = None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        fmt, dims = "png", _png_dims(payload)
+    elif payload[:2] == b"\xff\xd8":
+        fmt, dims = "jpeg", _jpeg_dims(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        fmt, dims = "gif", _gif_dims(payload)
+    elif payload[:5].lower() == b"<html" or payload[:9].lower() == b"<!doctype":
+        fmt = "html"
+    else:
+        fmt = "bin"
+    if dims is None:
+        if strict:
+            raise NotImplementedError(
+                f"cannot parse dimensions from {fmt} payload (full decoders "
+                "unavailable in this environment)"
+            )
+        return {
+            "n_bytes": len(payload), "format": fmt,
+            "width": None, "height": None, "decode_ok": False,
+        }
+    return {
+        "n_bytes": len(payload), "format": fmt,
+        "width": dims[0], "height": dims[1], "decode_ok": True,
+    }
 
 
 def image_metadata(df: DataFrame, bin_col: str = "html", id_col: str = "doc_id") -> DataFrame:
@@ -67,6 +123,9 @@ def image_metadata(df: DataFrame, bin_col: str = "html", id_col: str = "doc_id")
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf[id_col].to_numpy())
             out["n_bytes"] = out["n_bytes"].astype("int32")
+            # nullable Int32: width/height are NULL when undecodable
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
             yield out[["doc_id", "n_bytes", "format", "width", "height", "decode_ok"]]
 
     return df.select(id_col, bin_col).mapInPandas(extract, IMAGE_META_DDL)

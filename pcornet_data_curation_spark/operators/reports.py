@@ -206,6 +206,9 @@ def n_pct_noref(
 # ---------------------------------------------------------------------------
 
 DEFAULT_PCTS = (0.05, 0.25, 0.50, 0.75, 0.95)
+# the reference's full %t_cont percentile ladder
+# (data_curation_base.sas:204-546: p1 p5 p10 p25 median p75 p90 p95 p99)
+REFERENCE_PCTS = (0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
 
 
 def cont_stats(
@@ -215,6 +218,7 @@ def cont_stats(
     pcts: tuple[float, ...] = DEFAULT_PCTS,
     approx: bool = False,
     force_null_group: bool = True,
+    side_counts: dict[str, object] | None = None,
 ) -> DataFrame:
     """n/nmiss/min/mean/max + exact percentiles, optionally per group
     (reference %cont / %t_cont, data_curation_base.sas:121-546).
@@ -223,6 +227,12 @@ def cont_stats(
     switches to percentile_approx for unchecked hot paths. With a
     group, a NULL-group row is still emitted (groupBy keeps null keys —
     the reference forces this row explicitly, :350-398).
+
+    side_counts maps output_name -> boolean Column; each adds a
+    conditional count to the same aggregation pass — the reference's
+    per-group invalid/implausible/future/pre-period tallies
+    (data_curation_base.sas:216-235). Use pcts=REFERENCE_PCTS for the
+    full p1..p99 ladder.
     """
     pct_fn = "approx_percentile" if approx else "percentile"
     arr = ", ".join(repr(p) for p in pcts)
@@ -233,6 +243,9 @@ def cont_stats(
         F.avg(col).alias("mean"),
         F.max(col).alias("max"),
         F.expr(f"{pct_fn}(`{col}`, array({arr}))").alias("_p"),
+    ] + [
+        F.sum(F.when(cond, 1).otherwise(0).cast("long")).alias(name)
+        for name, cond in (side_counts or {}).items()
     ]
     g = df.groupBy(*[F.col(c) for c in group]) if group else df.groupBy()
     out = g.agg(*aggs)
@@ -305,6 +318,77 @@ def ym_dense_fill(counts: DataFrame, ym_col: str = "ym", fill_cols: tuple[str, .
 
 
 # ---------------------------------------------------------------------------
+# DASH trailing-window classification
+# ---------------------------------------------------------------------------
+
+
+def dash_windows(
+    run_date,
+    spans: list[tuple[str, dict]],
+    skew_months: int = 3,
+) -> list[tuple[str, "dt.date", "dt.date"]]:
+    """Run-date-parameterized trailing windows (reference %dash setup,
+    data_curation_base.sas:49-55, 2868-2891: windows end at the run
+    date minus 3 months and reach back 1-5 years).
+
+    spans: [(name, {"years": n} | {"months": n} | {"days": n}), ...]
+    Returns [(name, start_date, end_date)] with end = run_date shifted
+    back skew_months calendar months (day clamped to month length) and
+    start = end shifted back by the span.
+    """
+    import calendar
+    import datetime as dt
+
+    def minus_months(d: dt.date, m: int) -> dt.date:
+        y, mo = divmod((d.year * 12 + d.month - 1) - m, 12)
+        return dt.date(y, mo + 1, min(d.day, calendar.monthrange(y, mo + 1)[1]))
+
+    end = minus_months(run_date, skew_months)
+    out = []
+    for name, span in spans:
+        if "years" in span:
+            start = minus_months(end, 12 * int(span["years"]))
+        elif "months" in span:
+            start = minus_months(end, int(span["months"]))
+        elif "days" in span:
+            start = end - dt.timedelta(days=int(span["days"]))
+        else:
+            raise ValueError(f"span needs years/months/days: {span}")
+        out.append((name, start, end))
+    return out
+
+
+def dash_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    windows: list[tuple[str, object, object]],
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Per-window record (+ optional distinct) counts: each row
+    explodes into the trailing windows containing its timestamp (a
+    1→0-N fan-out, SURVEY §2.2 DASH), then one grouped agg. The
+    window list is tiny and becomes array literals — no join."""
+    entries = F.array(
+        *[
+            F.when(
+                (F.col(ts_col) >= F.lit(str(start)).cast("timestamp"))
+                & (F.col(ts_col) <= F.lit(str(end)).cast("timestamp")),
+                F.lit(name),
+            )
+            for name, start, end in windows
+        ]
+    )
+    arr = F.filter(entries, lambda x: x.isNotNull())
+    sel = [F.explode(arr).alias("window")] + (
+        [F.col(distinct_col)] if distinct_col else []
+    )
+    aggs = [F.count(F.lit(1)).alias("record_n")]
+    if distinct_col:
+        aggs.append(F.countDistinct(distinct_col).alias("distinct_n"))
+    return df.select(*sel).groupBy("window").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
 # %n_pct_multilev — multi-level crosstab with optional full domain
 # ---------------------------------------------------------------------------
 
@@ -339,14 +423,26 @@ def crosstab(
         aggs.append(F.countDistinct("_d").alias("distinct_n"))
     counts = df.select(*sel).groupBy(*levels).agg(*aggs)
     if domains:
-        domain_df = None
-        for c in levels:
-            vals = list(domains.get(c, [])) + [NULL_CATEGORY]
-            d = spark.createDataFrame([(v,) for v in vals], f"`{c}` string")
-            domain_df = d if domain_df is None else domain_df.crossJoin(d)
+        # build the cross-product driver-side: domains are valueset-
+        # sized by definition (a few dozen rows), and one single-
+        # partition createDataFrame avoids the task explosion of
+        # chained crossJoins (k default-parallelism frames → p^k task
+        # combinations for 72 output rows)
+        import itertools
+
+        combos = list(
+            itertools.product(
+                *[list(domains.get(c, [])) + [NULL_CATEGORY] for c in levels]
+            )
+        )
+        schema = ", ".join(f"`{c}` string" for c in levels)
+        domain_df = spark.createDataFrame(combos, schema).coalesce(1)
         fill = {"record_n": 0}
         if distinct_col:
             fill["distinct_n"] = 0
+        # no broadcast hint on the LEFT of a left join (unsupported —
+        # Spark would warn and ignore); AQE broadcasts the aggregated
+        # right side on its own
         counts = domain_df.join(counts, levels, "left").na.fill(fill)
     w = Window.partitionBy(pct_within) if pct_within else Window.partitionBy()
     total = F.sum("record_n").over(w)

@@ -47,6 +47,8 @@ from pcornet_data_curation_spark.operators.normalize import (
 )
 from pcornet_data_curation_spark.operators.reports import (
     cont_stats,
+    dash_window_counts,
+    dash_windows,
     minmax_profile,
     n_pct,
     n_pct_noref,
@@ -87,6 +89,7 @@ EXPECTED_REPORTS = [
     "scrub_summary",
     "run_metadata",
     "extraction_summary",
+    "dash_activity",
 ]
 
 
@@ -293,6 +296,17 @@ def run_pipeline(
             "meta_key string, meta_value string",
         )
 
+    with tracker.stage("report_dash_activity"):
+        # run-date-parameterized trailing windows (reference %dash:
+        # 1-5 yr spans ending run_date - 3 months,
+        # data_curation_base.sas:49-55, 2868-2891)
+        windows = dash_windows(
+            cfg.run_date, [(f"last_{y}y", {"years": y}) for y in (1, 2, 3, 4, 5)]
+        )
+        reports["dash_activity"] = dash_window_counts(
+            cur, "warc_ts", windows, distinct_col="url"
+        )
+
     with tracker.stage("report_scrub_summary"):
         hits = F.sum(F.col("scrub_hit").cast("long"))
         total = F.count(F.lit(1))
@@ -339,6 +353,7 @@ def run_pipeline(
             melt_report(rread["scrub_summary"], "scrub_summary", []),
             melt_report(rread["run_metadata"], "run_metadata", ["meta_key"]),
             melt_report(rread["extraction_summary"], "extraction_summary", []),
+            melt_report(rread["dash_activity"], "dash_activity", ["window"]),
         ]
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)

@@ -304,6 +304,108 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_cont_stats_full(spark, sf_dir):
+    """%t_cont with the reference's FULL percentile ladder (p1..p99)
+    and per-group side-counts — the invalid/implausible/future
+    conditional tallies of data_curation_base.sas:204-546, 216-235 —
+    all in the same single aggregation pass."""
+    from pcornet_data_curation_spark.operators.reports import REFERENCE_PCTS
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cont_stats(
+        li,
+        "l_quantity",
+        group=["l_returnflag"],
+        pcts=REFERENCE_PCTS,
+        side_counts={
+            "invalid_n": F.col("l_quantity") <= 0,
+            "implausible_n": F.col("l_quantity") > 45,
+            "pre_period_n": F.col("l_shipdate") < F.lit("1993-01-01").cast("date"),
+        },
+    )
+
+
+SQL_CONT_STATS_FULL = """
+SELECT l_returnflag,
+       COUNT(l_quantity) AS n,
+       COUNT(*) FILTER (l_quantity IS NULL) AS nmiss,
+       MIN(l_quantity) AS min,
+       AVG(l_quantity) AS mean,
+       MAX(l_quantity) AS max,
+       CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS invalid_n,
+       CAST(COALESCE(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END), 0) AS BIGINT) AS implausible_n,
+       CAST(COALESCE(SUM(CASE WHEN l_shipdate < DATE '1993-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT) AS pre_period_n,
+       quantile_cont(l_quantity, 0.01) AS p01,
+       quantile_cont(l_quantity, 0.05) AS p05,
+       quantile_cont(l_quantity, 0.10) AS p10,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.90) AS p90,
+       quantile_cont(l_quantity, 0.95) AS p95,
+       quantile_cont(l_quantity, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_PRIORITY_DOMAIN = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_crosstab3_orders(spark, sf_dir):
+    """3-level %n_pct_multilev with full completetypes domains on every
+    level (reference data_curation_base.sas:1315-2233 supports up to 3
+    vars): status × priority × derived size class, super-populated over
+    the (3+1)×(5+1)×(2+1) cross-product with zero fill, plus an exact
+    distinct-customer count per cell."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "size_class",
+        F.when(F.col("o_totalprice") >= 150000, "large").otherwise("small"),
+    )
+    return crosstab(
+        orders,
+        ["o_orderstatus", "o_orderpriority", "size_class"],
+        domains={
+            "o_orderstatus": ["F", "O", "P"],
+            "o_orderpriority": _PRIORITY_DOMAIN,
+            "size_class": ["large", "small"],
+        },
+        distinct_col="o_custkey",
+    )
+
+
+SQL_CROSSTAB3_ORDERS = """
+WITH src AS (
+  SELECT COALESCE(o_orderstatus, 'NULL or missing') AS o_orderstatus,
+         COALESCE(o_orderpriority, 'NULL or missing') AS o_orderpriority,
+         CASE WHEN o_totalprice >= 150000 THEN 'large' ELSE 'small' END AS size_class,
+         o_custkey
+  FROM orders
+),
+counts AS (
+  SELECT o_orderstatus, o_orderpriority, size_class,
+         COUNT(*) AS record_n, COUNT(DISTINCT o_custkey) AS distinct_n
+  FROM src GROUP BY 1, 2, 3
+),
+d1(o_orderstatus) AS (VALUES ('F'), ('O'), ('P'), ('NULL or missing')),
+d2(o_orderpriority) AS (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                               ('4-NOT SPECIFIED'), ('5-LOW'), ('NULL or missing')),
+d3(size_class) AS (VALUES ('large'), ('small'), ('NULL or missing')),
+dom AS (SELECT * FROM d1 CROSS JOIN d2 CROSS JOIN d3),
+j AS (
+  SELECT dom.o_orderstatus, dom.o_orderpriority, dom.size_class,
+         CAST(COALESCE(counts.record_n, 0) AS BIGINT) AS record_n,
+         CAST(COALESCE(counts.distinct_n, 0) AS BIGINT) AS distinct_n
+  FROM dom LEFT JOIN counts
+    USING (o_orderstatus, o_orderpriority, size_class)
+)
+SELECT o_orderstatus, o_orderpriority, size_class, record_n, distinct_n,
+       CASE WHEN SUM(record_n) OVER () > 0
+            THEN FLOOR(record_n * 10000.0 / SUM(record_n) OVER ()) / 100.0
+            ELSE 0.0 END AS record_pct
+FROM j
+"""
+
+
 def q_minmax_events_ts(spark, sf_dir):
     """%minmax date/timestamp profile (SURVEY §2.4 %minmax)."""
     ev = _t(spark, sf_dir, "events")
@@ -737,23 +839,28 @@ _DASH_WINDOWS = [("last_7d", "2024-01-24"), ("last_14d", "2024-01-17"), ("last_3
 def q_dash_window_counts(spark, sf_dir):
     """%dash-style UDTF fan-out (SURVEY §2.2 DASH classification,
     data_curation_base.sas:2868-2891): one row explodes into its
-    overlapping trailing windows, then per-window counts."""
-    ev = _t(spark, sf_dir, "events").where(F.col("ts") <= F.lit(_DASH_RUN).cast("timestamp"))
-    entries = F.array(
-        *[
-            F.when(F.col("ts") >= F.lit(start).cast("timestamp"), F.lit(name))
-            for name, start in _DASH_WINDOWS
-        ]
+    overlapping trailing windows, then per-window counts. Windows come
+    from the run-date-parameterized engine helper (reports.dash_windows
+    — reference derives them as run date minus 3 months reaching back
+    1-5 years; here day spans with zero skew so the fixed oracle
+    literals stay exact)."""
+    import datetime as dt
+
+    from pcornet_data_curation_spark.operators.reports import (
+        dash_window_counts,
+        dash_windows,
     )
-    arr = F.filter(entries, lambda x: x.isNotNull())
-    return (
-        ev.select("user_id", F.explode(arr).alias("window"))
-        .groupBy("window")
-        .agg(
-            F.count(F.lit(1)).alias("record_n"),
-            F.countDistinct("user_id").alias("distinct_users"),
-        )
+
+    run = dt.date.fromisoformat(_DASH_RUN)
+    windows = dash_windows(
+        run,
+        [("last_7d", {"days": 7}), ("last_14d", {"days": 14}), ("last_30d", {"days": 30})],
+        skew_months=0,
     )
+    ev = _t(spark, sf_dir, "events")
+    return dash_window_counts(
+        ev, "ts", windows, distinct_col="user_id"
+    ).withColumnRenamed("distinct_n", "distinct_users")
 
 
 SQL_DASH_WINDOW_COUNTS = " UNION ALL ".join(
@@ -1299,6 +1406,24 @@ WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
 """
 
 
+def q_embedding_dup_pairs_lsh(spark, sf_dir):
+    """Sign-LSH near-duplicate pairs — the 100-TB path for the
+    embedding-dedup family (no quadratic grid: bucket-keyed equi-join
+    only; rows-only since the hyperplane family is engine-specific).
+    Same dup-injected input as q_embedding_dup_pairs, so the exact-path
+    oracle bounds what this may return; the pytest recall test pins the
+    injected cosine-1.0 copies (same bucket by construction)."""
+    from pcornet_data_curation_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return embedding_dup_pairs(
+        emb.unionByName(dups), threshold=0.95, n_planes=12, dim=64
+    ).select("id_a", "id_b")
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-k (multi-probe; rows-only —
     bucket hash family is engine-specific)."""
@@ -1332,6 +1457,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "npct_returnflag": (q_npct_returnflag, SQL_NPCT_RETURNFLAG),
     "npct_noref_event_type": (q_npct_noref_event_type, SQL_NPCT_NOREF_EVENT_TYPE),
     "cont_stats_quantity": (q_cont_stats_quantity, SQL_CONT_STATS_QUANTITY),
+    "cont_stats_full": (q_cont_stats_full, SQL_CONT_STATS_FULL),
+    "crosstab3_orders": (q_crosstab3_orders, SQL_CROSSTAB3_ORDERS),
     "minmax_events_ts": (q_minmax_events_ts, SQL_MINMAX_EVENTS_TS),
     "ym_dense_fill_orders": (q_ym_dense_fill_orders, SQL_YM_DENSE_FILL_ORDERS),
     "crosstab_orders": (q_crosstab_orders, SQL_CROSSTAB_ORDERS),
@@ -1374,8 +1501,38 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "violations_documents": (q_violations_documents, SQL_VIOLATIONS_DOCUMENTS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, None),
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
+}
+
+
+# part1/part2 suite halves, runnable independently (reference splits
+# the query run the same way: sasprograms/02_run_queries.sas:80-81
+# drives %dc_part1/%dc_part2, data_curation_base.sas:3233-3279).
+# part1 = conformance/report/join/window queries over the TPC-H-ish
+# tables; part2 = the document/embedding curation family.
+QUERY_GROUPS: dict[str, tuple[str, ...]] = {
+    "part1": (
+        "pricing_summary", "tag_profile_orders", "npct_returnflag",
+        "npct_noref_event_type", "cont_stats_quantity", "cont_stats_full",
+        "crosstab3_orders", "minmax_events_ts", "ym_dense_fill_orders",
+        "crosstab_orders", "crosstab_orders_domains", "crosstab_pct_within",
+        "npct_multi_distinct", "join_revenue_by_nation",
+        "semi_customers_with_orders", "anti_orphan_events",
+        "window_latest_event", "sessionize_events", "topn_sources",
+        "union_provenance", "json_props_stats", "dash_window_counts",
+        "across_date_check", "xmin_vs_orderdate", "bucket_acctbal",
+    ),
+    "part2": (
+        "dedup_exact", "duplicate_groups", "ngram_jaccard_pairs",
+        "minhash_lsh_pairs", "near_dedup_survivors", "simhash_pairs",
+        "fingerprint", "token_stats", "bpe_token_count", "quality_score",
+        "langid_heuristic", "scrub_email", "scrub_full",
+        "rule_flags_summary", "verdict_documents", "violations_documents",
+        "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
+        "lsh_topk", "ivf_topk",
+    ),
 }
 
 

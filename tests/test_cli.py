@@ -23,3 +23,31 @@ def test_cli_gen_run_resume(spark, tmp_path, capsys):
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["stats"]["buckets_processed_now"] == 0  # nothing recomputed
     assert second["stats"]["rows"] == first["stats"]["rows"]
+
+
+def test_query_groups_partition_registry():
+    from pcornet_data_curation_spark.queries import QUERY_GROUPS, REGISTRY
+
+    p1, p2 = set(QUERY_GROUPS["part1"]), set(QUERY_GROUPS["part2"])
+    assert p1 and p2 and not (p1 & p2)
+    assert p1 | p2 == set(REGISTRY)  # halves cover the registry exactly
+
+
+def test_cli_queries_part_runs(tmp_path, capsys):
+    import json
+
+    from pcornet_data_curation_spark.__main__ import main
+
+    rc = main(
+        [
+            "queries", "--sf-dir", "/root/testdata/sf0.001",
+            "--queries", "pricing_summary,topn_sources",
+            "--output", str(tmp_path / "q"), "--cores", "4",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["queries_run"] == 2
+    assert out["rows"]["pricing_summary"] > 0
+    import os
+    assert os.path.exists(tmp_path / "q" / "topn_sources" / "_SUCCESS")

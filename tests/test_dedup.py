@@ -87,6 +87,43 @@ def test_embedding_dup_exact_vs_lsh(spark):
         assert len(lsh_set) / len(exact_set) >= 0.3  # some recall
 
 
+def test_ngram_jaccard_df_cap(spark, docs):
+    """A document-frequency cap above every real df leaves results
+    identical; a tight cap only LOWERS jaccard (drops hot shingles from
+    the intersection) and never invents pairs."""
+    base = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    same = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=1000).toPandas()
+    key = lambda p: sorted(zip(p.id_a, p.id_b, p.jaccard.round(6)))
+    assert key(base) == key(same)
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=2).toPandas()
+    got = {(a, b): j for a, b, j in zip(capped.id_a, capped.id_b, capped.jaccard)}
+    full = {(a, b): j for a, b, j in zip(base.id_a, base.id_b, base.jaccard)}
+    assert set(got) <= {(1, 2), (1, 3), (2, 3)}  # no invented pairs
+    for p, j in got.items():
+        assert j <= full.get(p, 1.0) + 1e-9  # lower bound, never higher
+
+
+def test_embedding_dup_auto_routes_to_lsh(spark):
+    """Above max_exact_rows the exact request silently switching to the
+    quadratic grid is the r1 scale defect — it must route to sign-LSH:
+    result is a subset of exact pairs and the injected cosine-1.0
+    copies are found (identical vectors share every bucket)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    both = emb.unionByName(dups)
+    exact = embedding_dup_pairs(both, threshold=0.95, max_exact_rows=0).toPandas()
+    routed = embedding_dup_pairs(
+        both, threshold=0.95, max_exact_rows=10, dim=64
+    ).toPandas()
+    exact_set = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    routed_set = {(a, b) for a, b in zip(routed.id_a, routed.id_b)}
+    assert routed_set <= exact_set
+    injected = {(int(v), int(v) + 1000000) for v in dups.toPandas().vec_id - 1000000}
+    assert injected <= routed_set  # identical copies always bucket together
+
+
 def test_exact_dedup_vs_duckdb_on_documents(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = exact_dedup(docs).count()

@@ -45,7 +45,14 @@ def test_pipeline_end_to_end(spark, outdir):
         assert spark.read.parquet(os.path.join(res["reports"], name)).count() > 0
     assert spark.read.parquet(res["metrics"]).count() > 0
     exc = spark.read.parquet(res["exceptions"]).toPandas()
-    assert not exc["exception"].any()  # healthy synthetic run
+    # the synthetic fixture DELIBERATELY contains junk (null langs,
+    # future timestamps, extraction mismatches, off-valueset languages,
+    # OOV-perplexity docs) — exactly these checks must fire, no others
+    tripped = set(exc.loc[exc["exception"], "check_id"])
+    assert tripped == {"2.02", "5.01", "6.02", "7.02", "8.04"}
+    # the only red among them is the future-timestamp plausibility check
+    reds = set(exc.loc[exc["exception"] & (exc["severity"] == "red"), "check_id"])
+    assert reds == {"7.02"}
     lin = spark.read.parquet(res["lineage"]).toPandas()
     assert (lin["status"] == "ok").all() and len(lin) >= 9
 
@@ -172,3 +179,52 @@ def test_run_report_markdown(spark, tmp_path):
     ):
         assert section in md, section
     assert "spark_version" in md
+
+
+def test_checks_trip_per_family(spark):
+    """Every check family has at least one deliberately-tripped
+    exception: a hand-built metrics frame encodes one pathological
+    value per family and run_checks must flag exactly those."""
+    from pcornet_data_curation_spark.operators.checks import (
+        DEFAULT_CHECKS,
+        run_checks,
+    )
+
+    families = {c.family for c in DEFAULT_CHECKS}
+    assert families == {
+        "viability", "conformance", "uniqueness", "scrub", "extraction",
+        "distribution", "temporal", "continuous", "rules",
+    }
+    assert len(DEFAULT_CHECKS) >= 20
+
+    rows = [
+        # dc_name, variable, category, statistic, resultc, resultn
+        ("verdict_summary", "", "", "keep_pct", "5.0", 5.0),          # 1.01 viability
+        ("pages_tag", "", "curated|url", "null_n", "3", 3.0),          # 2.01 conformance
+        ("url_unique", "", "", "dup_url_n", "7", 7.0),                 # 3.01 uniqueness
+        ("scrub_summary", "", "", "scrub_pct", "95.0", 95.0),          # 4.01+4.02 scrub
+        ("extraction_summary", "", "", "mismatch_pct", "20.0", 20.0),  # 5.01+5.02 extraction
+        ("lang_dist", "", "NULL or missing", "record_pct", "45.0", 45.0),  # 6.01 distribution
+        ("warc_minmax", "", "warc_ts", "implausible_n", "2", 2.0),     # 7.01 temporal
+        ("ppl_stats", "", "", "mean", "700.0", 700.0),                 # 8.03 continuous
+        ("rule_summary", "", "3|min_len", "fail_pct", "99.0", 99.0),   # 9.01 rules
+        # healthy rows that must NOT trip
+        ("tokens_by_keep", "", "true", "mean", "250.0", 250.0),
+        ("warc_minmax", "", "warc_ts", "future_n", "0", 0.0),
+    ]
+    metrics = spark.createDataFrame(
+        rows,
+        "dc_name string, variable string, category string, statistic string, "
+        "resultc string, resultn double",
+    )
+    out = run_checks(metrics).toPandas()
+    tripped = set(out.loc[out["exception"], "check_id"])
+    assert tripped == {
+        "1.01", "2.01", "3.01", "4.01", "4.02", "5.01", "5.02",
+        "6.01", "7.01", "8.03", "9.01",
+    }
+    trip_fams = set(out.loc[out["exception"], "family"])
+    assert trip_fams == families - {"viability"} | {"viability"}  # all nine
+    # absent metrics (e.g. 1.03 records) → observed NULL, no exception
+    absent = out[out["check_id"] == "1.03"]
+    assert absent["observed"].isna().all() and not absent["exception"].any()

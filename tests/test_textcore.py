@@ -64,3 +64,43 @@ def test_determinism():
     f1, f2 = tc.doc_stats_frame(s), tc.doc_stats_frame(s)
     pd.testing.assert_frame_equal(f1, f2)
     assert f1.loc[0, "ppl"] == f1.loc[1, "ppl"]
+
+
+def test_perplexity_byte_vs_char_indexing():
+    """Byte-LUT perplexity must equal a per-character reference for
+    non-ASCII input: continuation bytes (≥0x80) can't alias the ASCII
+    alphabet and invalid pairs are masked before the mean, so the two
+    views score identically (ppl feeds keep/drop thresholds — any
+    definition drift here flips verdicts)."""
+    import math
+
+    import numpy as np
+
+    from pcornet_data_curation_spark.functions import textcore as tc
+
+    def ppl_char(text):
+        if not text:
+            return tc._PPL_OOV
+        s = tc.WS_RE.sub(" ", text.lower())
+        idx = np.array([tc._PPL_INDEX.get(c, -1) for c in s], dtype=np.int64)
+        if len(idx) < 2:
+            return tc._PPL_OOV
+        a, b = idx[:-1], idx[1:]
+        valid = (a >= 0) & (b >= 0)
+        if int(valid.sum()) < 10:
+            return tc._PPL_OOV
+        return float(math.exp(-float(tc._PPL_LOGPROB[a[valid], b[valid]].mean())))
+
+    cases = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "héllo wörld, çafé über naïve résumé — the quick brown fox runs here",
+        "русский текст совсем не английский но довольно длинный для оценки",
+        "日本語のテキストですこれは英語ではありません",
+        "mixed ascii and 中文 characters interleaved in one document for tests",
+        "the qúick brown fôx jumps över the lazy dög and rúns away fast now",
+        "é" * 50,
+        "",
+        "a" * 5,
+    ]
+    for t in cases:
+        assert tc.perplexity(t) == ppl_char(t), t[:40]
