@@ -39,6 +39,7 @@ HEADLINE = [
     "dash_window_counts",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
     "minhash_lsh_pairs",
     "embedding_topk",
     "embedding_dup_pairs",

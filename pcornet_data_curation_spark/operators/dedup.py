@@ -306,14 +306,21 @@ def near_dedup_survivors(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Full near-dup dedup: MinHash-LSH pairs → connected components →
+    """Full near-dup dedup: near-dup pairs → connected components →
     keep the minimum id of every component (non-dup docs survive
-    untouched). Returns the surviving rows of `df`."""
-    pairs = minhash_lsh_pairs(
-        df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
-        threshold=threshold,
-    )
+    untouched). Returns the surviving rows of `df`.
+
+    Pairs default to MinHash-LSH (the scale path); pass `pairs`
+    (id_a, id_b) to dedup over any other pairing — e.g. the exact
+    jaccard pairs, which makes the whole survivors computation
+    SQL-expressible and oracle-checkable."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+            threshold=threshold,
+        )
     comp = connected_components(pairs)
     drop = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

@@ -122,10 +122,13 @@ def n_pct(
     distinct_col: str | None = None,
     include_overflow: bool = True,
     distinct_cols: dict[str, str] | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Counts + pct per category, super-populated over `valueset` with
     forced NULL + overflow rows (reference %n_pct completetypes /
     preloadfmt semantics, data_curation_base.sas:837-846, 905-912).
+    approx=True switches the distinct counts to HyperLogLog for the
+    10^12-row path (default EXACT — oracle-compared verbatim).
 
     Output: (category, ord, record_n, record_pct[, distinct_n][, extra
     distinct columns]); ord is the valueset order with NULL and
@@ -150,8 +153,9 @@ def n_pct(
     sel = [cat.alias("category")] + [
         F.col(src).alias(f"_d_{name}") for name, src in distinct_cols.items()
     ]
+    cd = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("record_n")] + [
-        F.countDistinct(f"_d_{name}").alias(name) for name in distinct_cols
+        cd(f"_d_{name}").alias(name) for name in distinct_cols
     ]
     counts = df.select(*sel).groupBy("category").agg(*aggs)
 

@@ -1069,6 +1069,54 @@ WHERE inter_n * 1.0 / (size_a + size_b - inter_n) >= 0.8
 """
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Webtext-scale variant of the exact jaccard path: shingles with
+    document frequency > 20 (boilerplate hot keys — the quadratic
+    skew at 100 TB) are dropped before the self-join, so intersections
+    lower-bound the full jaccard while union sizes stay exact. The cap
+    is pure set algebra on equality groups — hash-function-independent
+    — so the DuckDB oracle reproduces it verbatim."""
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), k=3, threshold=0.8, max_shingle_df=20
+    ).select("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD_CAPPED = f"""
+WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '{WS_SQL}', ' ', 'g')), ' ') AS t
+  FROM d WHERE text IS NOT NULL AND trim(text) <> ''
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, len(shingles) AS set_size, UNNEST(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 20
+),
+exr AS (
+  SELECT ex.* FROM ex JOIN rare USING (shingle)
+),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.set_size AS size_a, r.set_size AS size_b,
+         COUNT(*) AS inter_n
+  FROM exr l JOIN exr r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b FROM inter
+WHERE inter_n * 1.0 / (size_a + size_b - inter_n) >= 0.8
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (band bucket join). Hash family is
     engine-specific → rows-only check."""
@@ -1094,6 +1142,66 @@ def q_near_dedup_survivors(spark, sf_dir):
     return near_dedup_survivors(_docs_with_dups(spark, sf_dir), threshold=0.9).select(
         "doc_id"
     )
+
+
+def q_near_dedup_survivors_exact(spark, sf_dir):
+    """End-to-end near-dedup with EXACT jaccard pairs feeding the
+    distributed connected components — fully SQL-expressible, so the
+    min-reachable-label semantics of the component algorithm itself
+    are oracle-checked (DuckDB WITH RECURSIVE transitive closure),
+    not just union-find-tested in pytest."""
+    from pcornet_data_curation_spark.operators.dedup import near_dedup_survivors
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    return near_dedup_survivors(docs, pairs=pairs).select("doc_id")
+
+
+SQL_NEAR_DEDUP_SURVIVORS_EXACT = f"""
+WITH RECURSIVE d AS ({_DOCS_WITH_DUPS_SQL}),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '{WS_SQL}', ' ', 'g')), ' ') AS t
+  FROM d WHERE text IS NOT NULL AND trim(text) <> ''
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, len(shingles) AS set_size, UNNEST(shingles) AS shingle FROM sh
+),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.set_size AS size_a, r.set_size AS size_b,
+         COUNT(*) AS inter_n
+  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE inter_n * 1.0 / (size_a + size_b - inter_n) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  -- min reachable label by transitive closure: same fixpoint the
+  -- Spark side's min-label propagation converges to
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM cc WHERE node <> comp)
+SELECT d.doc_id FROM d LEFT JOIN dropped USING (doc_id)
+WHERE dropped.doc_id IS NULL
+"""
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1486,8 +1594,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "duplicate_groups": (q_duplicate_groups, SQL_DUPLICATE_GROUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "minhash_lsh_pairs": (q_minhash_pairs, None),
     "near_dedup_survivors": (q_near_dedup_survivors, None),
+    "near_dedup_survivors_exact": (q_near_dedup_survivors_exact, SQL_NEAR_DEDUP_SURVIVORS_EXACT),
     "simhash_pairs": (q_simhash_pairs, None),
     "fingerprint": (q_fingerprint, None),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -1526,7 +1636,9 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
     ),
     "part2": (
         "dedup_exact", "duplicate_groups", "ngram_jaccard_pairs",
-        "minhash_lsh_pairs", "near_dedup_survivors", "simhash_pairs",
+        "ngram_jaccard_capped",
+        "minhash_lsh_pairs", "near_dedup_survivors",
+        "near_dedup_survivors_exact", "simhash_pairs",
         "fingerprint", "token_stats", "bpe_token_count", "quality_score",
         "langid_heuristic", "scrub_email", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",

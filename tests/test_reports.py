@@ -184,3 +184,18 @@ def test_tag_profile_approx_mode(spark, orders):
     assert exact["all_n"] == approx["all_n"]
     # HLL within 5% of exact on this cardinality
     assert abs(approx["distinct_n"] - exact["distinct_n"]) <= 0.05 * exact["distinct_n"]
+
+
+def test_n_pct_approx_mode(spark):
+    """HLL escape hatch for 10^12-row distinct counts: same categories
+    and record counts; distinct_n within HLL tolerance of exact."""
+    from pcornet_data_curation_spark.operators.reports import n_pct
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    vs = ["click", "view", "purchase"]
+    exact = n_pct(ev, "event_type", vs, distinct_col="user_id").toPandas()
+    approx = n_pct(ev, "event_type", vs, distinct_col="user_id", approx=True).toPandas()
+    assert exact["category"].tolist() == approx["category"].tolist()
+    assert exact["record_n"].tolist() == approx["record_n"].tolist()
+    for e, a in zip(exact["distinct_n"], approx["distinct_n"]):
+        assert a == e == 0 or abs(a - e) / max(e, 1) < 0.1
