@@ -9,6 +9,12 @@ surface a web-scale ingest needs).
   content fingerprint across micro-batches; state = fingerprints seen,
   keyed by fingerprint (so state is a single-row marker per key and
   the shuffle is by fingerprint — no global structure).
+* stream_sessionize — gap-based session windows per user via
+  applyInPandasWithState + event-time timeout: the streaming twin of
+  the batch lag+running-sum sessionization (queries.sessionize_events).
+  State per user = ONE open session triple; closed sessions emit as
+  soon as a larger gap arrives in-batch, or via watermark timeout when
+  the stream goes quiet — O(active users) state, never O(events).
 """
 
 from __future__ import annotations
@@ -78,4 +84,89 @@ def stream_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
         stateStructType=DEDUP_STATE_DDL,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_OUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, events_n long"
+)
+SESSION_STATE_DDL = "start_us long, last_us long, n long"
+_US = 1_000_000
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization over an unbounded event stream.
+
+    Semantics match the batch sessionize (queries.sessionize_events):
+    a session closes when the next event for the user is more than
+    `gap_minutes` later. Sessions that close INSIDE a micro-batch emit
+    immediately; the trailing open session is held in state (one triple
+    per user) and emitted by event-time timeout once the watermark
+    passes last_event + gap — so quiet users' state is reclaimed and
+    total state is O(active users).
+    """
+    gap_us = gap_minutes * 60 * _US
+    ev = events_stream.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts")
+    )
+
+    def sessionize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def out(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in rows],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in rows],
+                    "events_n": [n for _, _, n in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield out([(start, last, n)])
+            return
+        parts = [pdf["ts"] for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        ts = (
+            pd.concat(parts)
+            .sort_values()
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        if state.exists:
+            start, last, n = state.get
+        else:
+            # n=0 sentinel: the first event below opens the session
+            start, last, n = int(ts[0]), int(ts[0]), 0
+        closed = []
+        for t in ts:
+            t = int(t)
+            if n > 0 and t - last > gap_us:
+                closed.append((start, last, n))
+                start, n = t, 0
+            n += 1
+            last = t
+        state.update((start, last, n))
+        # event-time timeout: fires when the watermark passes the gap
+        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield out(closed)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType=SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -199,3 +199,26 @@ def test_n_pct_approx_mode(spark):
     assert exact["record_n"].tolist() == approx["record_n"].tolist()
     for e, a in zip(exact["distinct_n"], approx["distinct_n"]):
         assert a == e == 0 or abs(a - e) / max(e, 1) < 0.1
+
+
+def test_dash_windows_month_clamping():
+    """Calendar arithmetic: shifting May 31 back 3 months clamps to
+    Feb 28/29; spans subtract from the clamped end (reference derives
+    windows as run date minus 3 months, data_curation_base.sas:49-55)."""
+    import datetime as dt
+
+    from pcornet_data_curation_spark.operators.reports import dash_windows
+
+    w = dash_windows(dt.date(2025, 5, 31), [("w1", {"years": 1})], skew_months=3)
+    [(name, start, end)] = w
+    assert end == dt.date(2025, 2, 28)
+    assert start == dt.date(2024, 2, 28)
+    # leap year clamp
+    [(_, s2, e2)] = dash_windows(dt.date(2024, 5, 31), [("w", {"months": 2})], skew_months=3)
+    assert e2 == dt.date(2024, 2, 29) and s2 == dt.date(2023, 12, 29)
+    # day spans are exact
+    [(_, s3, e3)] = dash_windows(dt.date(2024, 3, 1), [("w", {"days": 1})], skew_months=0)
+    assert e3 == dt.date(2024, 3, 1) and s3 == dt.date(2024, 2, 29)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dash_windows(dt.date(2024, 1, 1), [("w", {"weeks": 1})])

@@ -120,3 +120,30 @@ def test_ivf_fit_sample_bounded(spark):
     c2 = ivf_fit(emb, n_centroids=8, max_sample=cap)
     assert c1.shape == (8, 64)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_partitioned_table_prunes_scan(spark, tmp_path):
+    """The IVF probe on a table written partitionBy('ivf_cell') becomes
+    PARTITION PRUNING at the scan — the physical plan's PartitionFilters
+    carries the isin(probe cells) predicate, so a 10^12-row store reads
+    only the probed cells' files."""
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_fit,
+        ivf_topk,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_fit(emb, n_centroids=8)
+    path = str(tmp_path / "ivf_store")
+    with_ivf_cell(emb, cents).write.partitionBy("ivf_cell").parquet(path)
+    store = spark.read.parquet(path)
+    q = [1.0] * 64
+    plan = (
+        ivf_topk(store, q, cents, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "ivf_cell" in pf[0]  # pruning predicate reached the scan
+    got = ivf_topk(store, q, cents, k=5, n_probe=2).toPandas()
+    assert len(got) == 5

@@ -100,3 +100,61 @@ def test_stream_dedup_first_seen(spark, tmp_path):
         lambda t: " ".join(t.lower().split())
     ).nunique()
     assert len(got) == n_distinct_texts
+
+
+def test_stream_sessionize_gap_splitting(spark, tmp_path):
+    """In-batch gap splitting: sessions separated by more than the gap
+    close and emit; per-session counts/spans match the batch
+    lag+running-sum sessionization semantics. The trailing open session
+    stays in state (no emission without a later batch/timeout)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pcornet_data_curation_spark.streaming.stateful import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: session A (3 events), 60-min gap, session B (2 events), open tail
+        (1, m(0)), (1, m(5)), (1, m(10)),
+        (1, m(70)), (1, m(75)),
+        (1, m(200)),
+        # user 2: one closed session (2 events), open tail
+        (2, m(0)), (2, m(20)),
+        (2, m(300)),
+    ]
+    indir = str(tmp_path / "ev_in")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.parquet(indir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(indir)
+    out = str(tmp_path / "sess_out")
+    q = (
+        stream_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # u1 A and B close by in-batch gaps; u1's m(200) singleton closes
+    # via EVENT-TIME TIMEOUT (watermark = m(300)-10min passes
+    # m(200)+gap in the availableNow cleanup batch). u2's tail at
+    # m(300) stays open: its timeout m(330) is beyond the watermark.
+    assert got["user_id"].tolist() == [1, 1, 1, 2]
+    assert got["events_n"].tolist() == [3, 2, 1, 2]
+    spans = (
+        (got["session_end"] - got["session_start"]).dt.total_seconds() / 60
+    ).tolist()
+    assert spans == [10.0, 5.0, 0.0, 20.0]
+    assert got["session_start"].iloc[0] == pd.Timestamp(t0)
