@@ -129,3 +129,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     detection robust to formatting (xxhash64: Spark-side only)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), WS, " ")))
     return df.select(F.col(id_col), F.xxhash64(norm).alias("fingerprint"))
+
+
+def dup_line_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style duplicate-line repetition signal, pure Column
+    algebra: per document, the fraction of line characters belonging to
+    lines that occur more than once (boilerplate/nav repetition —
+    north-star 'repetition n-gram dedup signals' family).
+
+    All array higher-order functions — no explode, no shuffle: for each
+    distinct non-blank trimmed line, its occurrence count is
+    size(filter(lines, = d)); O(distinct_lines × lines) per document
+    inside codegen, zero exchanges for the per-doc metric (the oracle
+    runs the same set algebra in SQL with UNNEST + GROUP BY).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL text → no lines, not NULL arrays
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    distinct = F.array_distinct(lines)
+    occ = lambda d: F.size(F.filter(lines, lambda x: x == d))  # noqa: E731
+    dup_chars = F.aggregate(
+        distinct,
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + F.when(occ(d) > 1, F.length(d).cast("long") * occ(d)).otherwise(F.lit(0).cast("long")),
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    frac = F.when(total_chars > 0, dup_chars / total_chars).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("lines_n"),
+        F.size(distinct).alias("distinct_lines_n"),
+        dup_chars.alias("dup_line_chars"),
+        total_chars.alias("line_chars"),
+        frac.alias("dup_line_frac"),
+    )

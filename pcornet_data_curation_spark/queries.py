@@ -1144,6 +1144,43 @@ def q_near_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_dup_line_metrics(spark, sf_dir):
+    """Gopher-style duplicate-line repetition signal per document
+    (north-star 'repetition n-gram dedup signals'): zero-shuffle array
+    higher-order functions, exact SQL oracle (UNNEST + GROUP BY set
+    algebra)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.dup_line_metrics(docs)
+
+
+SQL_DUP_LINE_METRICS = """
+WITH lx AS (
+  SELECT doc_id,
+         [l FOR l IN list_transform(string_split(text, chr(10)), s -> trim(s)) IF l <> ''] AS lines
+  FROM documents
+),
+e AS (SELECT doc_id, UNNEST(lines) AS line FROM lx),
+g AS (SELECT doc_id, line, COUNT(*) AS n FROM e GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS INT) AS lines_n,
+         CAST(COUNT(*) AS INT) AS distinct_lines_n,
+         CAST(SUM(CASE WHEN n > 1 THEN length(line) * n ELSE 0 END) AS BIGINT) AS dup_line_chars,
+         CAST(SUM(length(line) * n) AS BIGINT) AS line_chars
+  FROM g GROUP BY 1
+)
+SELECT lx.doc_id,
+       COALESCE(agg.lines_n, 0) AS lines_n,
+       COALESCE(agg.distinct_lines_n, 0) AS distinct_lines_n,
+       COALESCE(agg.dup_line_chars, 0) AS dup_line_chars,
+       COALESCE(agg.line_chars, 0) AS line_chars,
+       CASE WHEN COALESCE(agg.line_chars, 0) > 0
+            THEN agg.dup_line_chars * 1.0 / agg.line_chars
+            ELSE 0.0 END AS dup_line_frac
+FROM lx LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_near_dedup_survivors_exact(spark, sf_dir):
     """End-to-end near-dedup with EXACT jaccard pairs feeding the
     distributed connected components — fully SQL-expressible, so the
@@ -1595,6 +1632,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "duplicate_groups": (q_duplicate_groups, SQL_DUPLICATE_GROUPS),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
+    "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),
     "minhash_lsh_pairs": (q_minhash_pairs, None),
     "near_dedup_survivors": (q_near_dedup_survivors, None),
     "near_dedup_survivors_exact": (q_near_dedup_survivors_exact, SQL_NEAR_DEDUP_SURVIVORS_EXACT),
@@ -1640,7 +1678,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "minhash_lsh_pairs", "near_dedup_survivors",
         "near_dedup_survivors_exact", "simhash_pairs",
         "fingerprint", "token_stats", "bpe_token_count", "quality_score",
-        "langid_heuristic", "scrub_email", "scrub_full",
+        "langid_heuristic", "dup_line_metrics", "scrub_email", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
         "lsh_topk", "ivf_topk",

@@ -171,3 +171,26 @@ def test_near_dedup_survivors(spark, docs):
     out = near_dedup_survivors(docs, threshold=0.5).toPandas()
     ids = set(out["doc_id"])
     assert ids == {1, 4, 5, 6}
+
+
+def test_embedding_multiseed_recall(spark):
+    """Stacking independent hyperplane tables strictly widens recall of
+    the sign-LSH path toward the exact pair set, with zero false
+    positives (every candidate is exact-cosine verified in-bucket)."""
+    from pcornet_data_curation_spark.operators.dedup import (
+        embedding_dup_pairs_multiseed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_dup_pairs(emb, threshold=0.97, max_exact_rows=0).toPandas()
+    one = embedding_dup_pairs(emb, threshold=0.97, n_planes=4, dim=64).toPandas()
+    multi = embedding_dup_pairs_multiseed(
+        emb, threshold=0.97, n_planes=4, seeds=(42, 43, 44, 45), dim=64
+    ).toPandas()
+    ex = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    s1 = {(a, b) for a, b in zip(one.id_a, one.id_b)}
+    s4 = {(a, b) for a, b in zip(multi.id_a, multi.id_b)}
+    assert s1 <= s4 <= ex  # monotone, never false-positive
+    if ex:
+        assert len(s4) / len(ex) >= len(s1) / len(ex)
+        assert len(s4) / len(ex) >= 0.5  # 4 tables recover the majority
