@@ -170,3 +170,59 @@ def dup_line_metrics(
         total_chars.alias("line_chars"),
         frac.alias("dup_line_frac"),
     )
+
+
+def cross_doc_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Cross-document repeated-span signal (the exact-substring-dedup
+    family of training-data pipelines — Lee et al.'s dedup reduced to
+    its flaggable core): per document, how many of its distinct word
+    k-grams also occur in at least one OTHER document, and the fraction
+    of its k-grams that do.
+
+    Plan shape for 10^12 docs: explode distinct k-gram hashes (the
+    shuffle rows are (gram:long, doc:long)), one grouped
+    countDistinct(doc) per gram — map-side combinable — semi-join the
+    shared grams back, one count per doc, left-join onto per-doc
+    totals. Everything is keyed by gram/doc; no pair explosion, unlike
+    the jaccard self-join. Oracle is the identical set algebra on the
+    gram STRINGS (hash-independent, since only equality matters).
+    """
+    toks = _tokens(F.lower(F.col(text_col)))  # case-blind like the jaccard path
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_id"), grams.alias("grams"))
+    exploded = base.select("_id", F.explode("grams").alias("gram"))
+    shared = (
+        exploded.groupBy("gram")
+        .agg(F.countDistinct("_id").alias("docs_n"))
+        .where(F.col("docs_n") > 1)
+        .select("gram")
+    )
+    shared_per_doc = (
+        exploded.join(shared, "gram", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams_n"))
+    )
+    totals = base.select("_id", F.size("grams").alias("grams_n"))
+    out = totals.join(shared_per_doc, "_id", "left").na.fill({"shared_grams_n": 0})
+    frac = F.when(
+        F.col("grams_n") > 0, F.col("shared_grams_n") / F.col("grams_n")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        "grams_n",
+        "shared_grams_n",
+        frac.alias("shared_gram_frac"),
+    )

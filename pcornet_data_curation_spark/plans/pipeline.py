@@ -235,8 +235,17 @@ def run_pipeline(
         )
 
     with tracker.stage("report_tag_profile"):
+        # valid_exprs = the reference %tag's _n vs valid distinction
+        # (data_curation_base.sas:600-660): validity is a per-column
+        # predicate, counted in the same single aggregation pass
         reports["pages_tag"] = tag_profile(
-            cur, ["url", "lang", "scrubbed_text"], dataset="curated"
+            cur,
+            ["url", "lang", "scrubbed_text"],
+            dataset="curated",
+            valid_exprs={
+                "url": F.col("url").rlike("^https?://[^ \\t\\n\\r\\f]+$"),
+                "lang": F.col("lang").rlike("^[a-z]{2}(-[A-Za-z]{2})?$"),
+            },
         )
 
     with tracker.stage("report_lang_dist"):

@@ -1181,6 +1181,46 @@ FROM lx LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_cross_doc_ngrams(spark, sf_dir):
+    """Cross-document repeated-span stats (exact-substring-dedup signal
+    family, Lee et al.-style): per doc, distinct word-8-grams shared
+    with any other document. Gram-keyed shuffle, no pair explosion;
+    oracle runs the identical set algebra on gram strings."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.cross_doc_ngram_stats(docs, k=8)
+
+
+SQL_CROSS_DOC_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '{WS_SQL}', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8
+              THEN list_distinct([array_to_string(t[i:i+7], ' ')
+                                  FOR i IN range(1, len(t) - 6)])
+              ELSE [] END AS grams
+  FROM toks
+),
+ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+shared AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+spd AS (
+  SELECT doc_id, COUNT(*) AS shared_grams_n
+  FROM ex JOIN shared USING (gram) GROUP BY 1
+),
+tot AS (SELECT doc_id, len(grams) AS grams_n FROM g)
+SELECT tot.doc_id,
+       CAST(grams_n AS INT) AS grams_n,
+       CAST(COALESCE(shared_grams_n, 0) AS BIGINT) AS shared_grams_n,
+       CASE WHEN grams_n > 0
+            THEN CAST(COALESCE(shared_grams_n, 0) AS BIGINT) * 1.0 / grams_n
+            ELSE 0.0 END AS shared_gram_frac
+FROM tot LEFT JOIN spd USING (doc_id)
+"""
+
+
 def q_near_dedup_survivors_exact(spark, sf_dir):
     """End-to-end near-dedup with EXACT jaccard pairs feeding the
     distributed connected components — fully SQL-expressible, so the
@@ -1633,6 +1673,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),
+    "cross_doc_ngrams": (q_cross_doc_ngrams, SQL_CROSS_DOC_NGRAMS),
     "minhash_lsh_pairs": (q_minhash_pairs, None),
     "near_dedup_survivors": (q_near_dedup_survivors, None),
     "near_dedup_survivors_exact": (q_near_dedup_survivors_exact, SQL_NEAR_DEDUP_SURVIVORS_EXACT),
@@ -1678,7 +1719,8 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "minhash_lsh_pairs", "near_dedup_survivors",
         "near_dedup_survivors_exact", "simhash_pairs",
         "fingerprint", "token_stats", "bpe_token_count", "quality_score",
-        "langid_heuristic", "dup_line_metrics", "scrub_email", "scrub_full",
+        "langid_heuristic", "dup_line_metrics", "cross_doc_ngrams",
+        "scrub_email", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
         "lsh_topk", "ivf_topk",
