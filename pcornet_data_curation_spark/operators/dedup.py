@@ -379,16 +379,18 @@ def ngram_jaccard_pairs(
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
     )
     if max_shingle_df is not None:
-        # document-frequency filter: one extra (shingle)-keyed agg —
-        # map-side-combinable — in exchange for removing the quadratic
-        # hot-shingle groups from the self-join
-        rare = (
-            shingled.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # document-frequency filter via a window on the shingle key:
+        # ONE exchange that the self-join below then reuses (both join
+        # sides arrive already hash-partitioned on shingle), versus the
+        # groupBy + semi-join formulation which costs two extra
+        # exchanges. Removes the quadratic hot-shingle groups.
+        shingled = (
+            shingled.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
             .where(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+            .drop("_df")
         )
-        shingled = shingled.join(rare, "shingle", "left_semi")
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")))

@@ -167,6 +167,10 @@ def n_pct(
 
     fill = {"record_n": 0, **{name: 0 for name in distinct_cols}}
     out = domain.join(counts, "category", "left").na.fill(fill)
+    # single-partition window is INTENTIONAL and bounded: it runs over
+    # the already-aggregated frame (|valueset|+2 rows, never the fact
+    # table), so the WindowExec single-partition warning is a false
+    # alarm here — the data is domain-sized by construction
     total = F.sum("record_n").over(Window.partitionBy())
     out = out.withColumn("record_pct", _pct_expr(F.col("record_n"), total))
     cols_out = ["category", "ord", "record_n", "record_pct", *distinct_cols]
@@ -197,6 +201,10 @@ def n_pct_noref(
             counts.join(nullrow, "category", "full")
             .na.fill({"record_n": 0, **({"distinct_n": 0} if distinct_col else {})})
         )
+    # single-partition window is INTENTIONAL and bounded: it runs over
+    # the already-aggregated frame (|valueset|+2 rows, never the fact
+    # table), so the WindowExec single-partition warning is a false
+    # alarm here — the data is domain-sized by construction
     total = F.sum("record_n").over(Window.partitionBy())
     out = counts.withColumn("record_pct", _pct_expr(F.col("record_n"), total))
     # NULL category forced last, then alpha (reference sentinel sort).
@@ -448,6 +456,8 @@ def crosstab(
         # Spark would warn and ignore); AQE broadcasts the aggregated
         # right side on its own
         counts = domain_df.join(counts, levels, "left").na.fill(fill)
+    # bounded: the window runs over the aggregated cross-product frame
+    # (product of domain sizes), never the input — single-partition is fine
     w = Window.partitionBy(pct_within) if pct_within else Window.partitionBy()
     total = F.sum("record_n").over(w)
     return counts.withColumn(
