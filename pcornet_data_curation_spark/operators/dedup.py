@@ -356,15 +356,15 @@ def ngram_jaccard_pairs(
     at webtext scale prefer a cap (or MinHash-LSH, the designed scale
     path for this family).
     """
+    from pcornet_data_curation_spark.operators.textanalysis import word_kgram_col
+
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f\\x0B]+", " ")), " ")
     n = F.size(toks)
-    sh = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # zip_with-based shingling (5× the per-position slice+concat shape;
+    # see word_kgram_col) — identical shingle strings
+    sh = F.when(n >= k, word_kgram_col(toks, n, k)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
     # join key = xxhash64(shingle), not the shingle string: the shuffle
     # rows shrink to (long, long) and the hot-key hash join compares
     # 8-byte keys (collision odds across a doc pair ~2^-64 · |shingles|²).
