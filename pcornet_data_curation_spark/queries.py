@@ -1594,10 +1594,12 @@ WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
 def q_embedding_dup_pairs_lsh(spark, sf_dir):
     """Sign-LSH near-duplicate pairs — the 100-TB path for the
     embedding-dedup family (no quadratic grid: bucket-keyed equi-join
-    only; rows-only since the hyperplane family is engine-specific).
-    Same dup-injected input as q_embedding_dup_pairs, so the exact-path
-    oracle bounds what this may return; the pytest recall test pins the
-    injected cosine-1.0 copies (same bucket by construction)."""
+    only). Fully oracle-checked: the ±1 hyperplanes are deterministic
+    literals from the shared seed, so DuckDB reproduces the exact
+    bucket strings and in-bucket cosine verification bit-for-bit
+    (SQL_EMBEDDING_DUP_PAIRS_LSH). The pytest recall test additionally
+    pins the injected cosine-1.0 copies (same bucket by
+    construction)."""
     from pcornet_data_curation_spark.operators.dedup import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1607,6 +1609,52 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
     return embedding_dup_pairs(
         emb.unionByName(dups), threshold=0.95, n_planes=12, dim=64
     ).select("id_a", "id_b")
+
+
+def _lsh_bucket_bits_sql(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB expression for the sign-LSH bucket string: the hyperplanes
+    are deterministic ±1 literals from the shared seed, and both engines
+    fold the same left-to-right sum over the same normalized vector, so
+    the sign bits (and hence buckets) are bit-identical."""
+    from pcornet_data_curation_spark.functions import hashing as H
+
+    planes = H.hyperplane_signs(dim, n_planes, seed)
+    bits = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in planes[p]) + "]"
+        bits.append(
+            "CASE WHEN list_reduce(list_transform(list_zip(e, "
+            + lit
+            + "), x -> x[1] * x[2]), (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+SQL_EMBEDDING_DUP_PAIRS_LSH = f"""
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+raw AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM src
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, y -> y * y), (a, b) -> a + b)) AS nrm
+  FROM raw
+),
+v AS (
+  SELECT vec_id, list_transform(e, y -> y / nrm) AS e FROM n
+),
+b AS (
+  SELECT vec_id, e, {{bits}} AS bucket FROM v
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
+                  (a, b) -> a + b) >= 0.95
+""".replace("{bits}", _lsh_bucket_bits_sql())
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -1690,7 +1738,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "violations_documents": (q_violations_documents, SQL_VIOLATIONS_DOCUMENTS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
-    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, None),
+    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
 }

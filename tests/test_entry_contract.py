@@ -19,7 +19,6 @@ def test_oracle_keys_subset_of_queries():
     # the intentionally rows-only ops (engine-specific hash families)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "embedding_dup_pairs_lsh",
         "minhash_lsh_pairs",
         "near_dedup_survivors",
         "simhash_pairs",
