@@ -1658,10 +1658,51 @@ WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed approximate top-k (multi-probe; rows-only —
-    bucket hash family is engine-specific)."""
+    """Sign-LSH bucketed approximate top-k (multi-probe, hamming ≤ 2 of
+    8 planes actually prunes the scan). Fully oracle-checked: the ±1
+    hyperplanes and the query's own bucket are deterministic literals,
+    so DuckDB reproduces bucket bits, hamming filter and cosine
+    ordering bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _QUERY_VEC, k=20, n_planes=8, max_hamming=8)
+    return lsh_topk(emb, _QUERY_VEC, k=20, n_planes=8, max_hamming=2)
+
+
+def _sql_lsh_topk() -> str:
+    from pcornet_data_curation_spark.functions import hashing as H
+    from pcornet_data_curation_spark.operators.similarity import query_bucket
+
+    planes = H.hyperplane_signs(64, 8, 42)
+    qb = query_bucket(_QUERY_VEC, 8, 42)
+    bits = " || ".join(
+        "CASE WHEN list_reduce(list_transform(list_zip(e, ["
+        + ", ".join("1.0" if x > 0 else "-1.0" for x in planes[p])
+        + "]), x -> x[1] * x[2]), (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END"
+        for p in range(8)
+    )
+    return f"""
+WITH raw AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings
+),
+b AS (SELECT vec_id, e, {bits} AS bucket FROM raw),
+probed AS (
+  SELECT vec_id, e FROM b
+  WHERE list_reduce(list_transform(range(1, 9),
+          i -> CASE WHEN substr(bucket, CAST(i AS INT), 1)
+                       = substr('{qb}', CAST(i AS INT), 1)
+               THEN 0 ELSE 1 END), (a, c) -> a + c) <= 2
+),
+s AS (
+  SELECT vec_id,
+         list_reduce(list_transform(e, y -> y * 1.0), (a, c) -> a + c)
+         / (sqrt(list_reduce(list_transform(e, y -> y * y), (a, c) -> a + c)) * 8.0)
+           AS cosine
+  FROM probed
+)
+SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 20
+"""
+
+
+SQL_LSH_TOPK = _sql_lsh_topk()
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1739,7 +1780,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
-    "lsh_topk": (q_lsh_topk, None),
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "ivf_topk": (q_ivf_topk, None),
 }
 

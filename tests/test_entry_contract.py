@@ -24,7 +24,6 @@ def test_oracle_keys_subset_of_queries():
         "simhash_pairs",
         "fingerprint",
         "scrub_full",
-        "lsh_topk",
         "ivf_topk",
     }
 
