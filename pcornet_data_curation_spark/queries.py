@@ -1283,8 +1283,26 @@ WHERE dropped.doc_id IS NULL
 
 def q_fingerprint(spark, sf_dir):
     """Whitespace/case-normalized xxhash64 content fingerprints
-    (rows-only: hash function is Spark-specific)."""
+    (rows-only: hash function is Spark-specific; q_fingerprint_md5 is
+    the cross-engine-checkable twin)."""
     return TA.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_md5(spark, sf_dir):
+    """Portable content fingerprint: md5 of the whitespace/case-
+    normalized text — same dedup semantics as the xxhash64 path but
+    reproducible in any engine, so fully oracle-checked. (xxhash64
+    remains the scale path: 8-byte keys vs 32-char strings.)"""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\r\\f\\x0B]+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_FINGERPRINT_MD5 = f"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
 
 
 # --- text analysis ----------------------------------------------------------
@@ -1768,6 +1786,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "near_dedup_survivors_exact": (q_near_dedup_survivors_exact, SQL_NEAR_DEDUP_SURVIVORS_EXACT),
     "simhash_pairs": (q_simhash_pairs, None),
     "fingerprint": (q_fingerprint, None),
+    "fingerprint_md5": (q_fingerprint_md5, SQL_FINGERPRINT_MD5),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -1807,7 +1826,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "ngram_jaccard_capped",
         "minhash_lsh_pairs", "near_dedup_survivors",
         "near_dedup_survivors_exact", "simhash_pairs",
-        "fingerprint", "token_stats", "bpe_token_count", "quality_score",
+        "fingerprint", "fingerprint_md5", "token_stats", "bpe_token_count", "quality_score",
         "langid_heuristic", "dup_line_metrics", "cross_doc_ngrams",
         "scrub_email", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
