@@ -31,7 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted only for
-    engine-specific families: minhash/simhash/xxhash64/sign-LSH/
-    seeded-kmeans and the lookaround scrub chain — rows-only checks)."""
+    """DuckDB-runnable ANSI SQL oracle per query (45 of 51; omitted
+    only for the engine-specific families: blake2b minhash/simhash,
+    xxhash64 fingerprint, driver-side seeded k-means, and the
+    lookaround scrub chain — rows-only checks). The sign-LSH paths ARE
+    oracle-checked: their ±1 hyperplanes embed as SQL literals."""
     return Q.oracle_sql()
