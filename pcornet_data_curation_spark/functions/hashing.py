@@ -29,6 +29,54 @@ def _splitmix64_int(x: int) -> int:
     return (z ^ (z >> 31)) & MASK64
 
 
+# xxHash64 primes (public XXH64 constants; Spark's F.xxhash64 uses the
+# same specialization for fixed-width inputs)
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & MASK64
+    h ^= h >> 29
+    h = (h * _XXP3) & MASK64
+    h ^= h >> 32
+    return h
+
+
+def xxhash64_long(value: int, seed: int) -> int:
+    """XXH64 of one 8-byte (long) input — the exact function Spark's
+    ``F.xxhash64`` applies per LongType child (seed = running hash,
+    initial 42). Pure-Python twin so driver-side code (and oracles)
+    can reproduce Spark's hash-based sampling without a session.
+    Input/output are unsigned views; see spark_xxhash64_longs for the
+    signed chain."""
+    value &= MASK64
+    h = (seed + _XXP5 + 8) & MASK64
+    k1 = (_rotl64((value * _XXP2) & MASK64, 31) * _XXP1) & MASK64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & MASK64
+    return _xxh_fmix(h)
+
+
+def spark_xxhash64_longs(*values: int) -> int:
+    """Twin of ``F.xxhash64(col1.cast('long'), col2.cast('long'), ...)``:
+    chain XXH64-of-long over the children starting from Spark's fixed
+    initial seed 42. Returns the SIGNED two's-complement value Spark
+    emits (LongType)."""
+    h = 42
+    for v in values:
+        h = xxhash64_long(v, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def hash64_str(s: str, seed: int = 0) -> int:
     """Deterministic seeded 64-bit string hash: keyed blake2b truncated
     to 8 bytes (hashlib, C speed — the per-byte Python FNV loop was the

@@ -1724,18 +1724,77 @@ SQL_LSH_TOPK = _sql_lsh_topk()
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k: deterministic seeded k-means coarse
-    quantizer, probe the 4 nearest cells (rows-only — the quantizer is
-    engine-side; recall vs exact is pytest-verified)."""
+    """IVF approximate top-k, FULLY oracle-checked: the k-means coarse
+    quantizer is deterministic from seed 42 (bounded sample picked by
+    xxhash64, (hash,id)-ordered truncation — see ivf_fit_sample), so
+    the oracle generator refits the identical centroids WITHOUT Spark
+    (ivf_fit_pandas: bit-exact xxhash64 twin + same numpy k-means) and
+    embeds them as SQL literals — the same move that oracled lsh_topk.
+    Cell assignment uses the fold-ordered pandas UDF
+    (with_ivf_cell_fold): bit-identical to the pure-JVM fold twin
+    (with_ivf_cell_exact, pytest-pinned) and to DuckDB's list_reduce,
+    at Arrow/numpy speed; the BLAS-matmul assignment (with_ivf_cell)
+    remains the large-centroid-count scale path, recall-tested in
+    pytest."""
     from pcornet_data_curation_spark.operators.similarity import (
         ivf_fit,
         ivf_topk,
-        with_ivf_cell,
+        with_ivf_cell_fold,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_fit(emb, n_centroids=16)
-    return ivf_topk(with_ivf_cell(emb, cents), _QUERY_VEC, cents, k=20, n_probe=4)
+    return ivf_topk(with_ivf_cell_fold(emb, cents), _QUERY_VEC, cents, k=20, n_probe=4)
+
+
+def _sql_ivf_topk() -> str:
+    """Oracle generator (lazy — resolved by oracle_sql()): refit the
+    deterministic centroids sessionlessly, embed them and the probed
+    cell ids as literals, replay normalization / per-centroid fold dot
+    products / argmax / cosine top-k in DuckDB."""
+    import os
+
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_fit_pandas,
+        ivf_probe_cells,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = ivf_fit_pandas(f"{sf_dir}/embeddings.parquet", n_centroids=16)
+    probe = ivf_probe_cells(cents, _QUERY_VEC, 4)
+    dots = ", ".join(
+        "list_reduce(list_transform(list_zip(e, ["
+        + ", ".join(repr(float(c)) for c in cents[p])
+        + "]), x -> x[1] * x[2]), (a, b) -> a + b)"
+        for p in range(len(cents))
+    )
+    probe_lit = ", ".join(str(c) for c in probe)
+    return f"""
+WITH raw AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e0 FROM embeddings
+),
+n AS (
+  SELECT vec_id, e0,
+         sqrt(list_reduce(list_transform(e0, y -> y * y), (a, b) -> a + b)) AS nrm0
+  FROM raw
+),
+v AS (
+  SELECT vec_id, e0,
+         list_transform(e0, y -> y / (CASE WHEN nrm0 = 0 THEN 1.0 ELSE nrm0 END)) AS e
+  FROM n
+),
+s AS (SELECT vec_id, e0, [{dots}] AS scores FROM v),
+c AS (SELECT vec_id, e0, list_position(scores, list_max(scores)) - 1 AS cell FROM s),
+p AS (SELECT vec_id, e0 FROM c WHERE cell IN ({probe_lit})),
+sc AS (
+  SELECT vec_id,
+         list_reduce(list_transform(e0, y -> y * 1.0), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(e0, y -> y * y), (a, b) -> a + b)) * 8.0)
+           AS cosine
+  FROM p
+)
+SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 20
+"""
 
 
 # ===========================================================================
@@ -1797,10 +1856,14 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "verdict_documents": (q_verdict_documents, SQL_VERDICT_DOCUMENTS),
     "violations_documents": (q_violations_documents, SQL_VIOLATIONS_DOCUMENTS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    # ivf_topk deliberately does NOT sit last: the only r2 registry
+    # entry with no driver correctness row was this one, and it was the
+    # final dict entry — keep it mid-pack so a harness tail-stop can
+    # never silently drop it again.
+    "ivf_topk": (q_ivf_topk, _sql_ivf_topk),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
-    "ivf_topk": (q_ivf_topk, None),
 }
 
 
@@ -1841,4 +1904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    """Registry oracles; a callable entry is a lazy generator (e.g.
+    ivf_topk refits its centroid literals from the oracle sf dir) and
+    is resolved here, at call time."""
+    out: dict[str, str] = {}
+    for name, (_, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        out[name] = sql() if callable(sql) else sql
+    return out

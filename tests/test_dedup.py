@@ -39,6 +39,21 @@ def test_exact_dedup(spark, docs):
     assert len(groups) == 1 and groups["n_docs"].iloc[0] == 2 and groups["min_id"].iloc[0] == 1
 
 
+def test_spark_xxhash64_twin(spark):
+    """functions.hashing.spark_xxhash64_longs must be bit-exact vs
+    Spark's F.xxhash64 over long children — it is the foundation of the
+    sessionless ivf_fit_pandas oracle twin."""
+    vals = [0, 1, -1, 42, 7, 123456789, -987654321, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v",
+        F.xxhash64(F.col("v").cast("long")).alias("h1"),
+        F.xxhash64(F.col("v").cast("long"), F.lit(42).cast("long")).alias("h2"),
+    )
+    for r in df.collect():
+        assert H.spark_xxhash64_longs(r["v"]) == r["h1"]
+        assert H.spark_xxhash64_longs(r["v"], 42) == r["h2"]
+
+
 def test_minhash_unit():
     s1 = H.minhash_signature(DOCS[0][1])
     s2 = H.minhash_signature(DOCS[1][1])

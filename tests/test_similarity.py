@@ -122,6 +122,58 @@ def test_ivf_fit_sample_bounded(spark):
     assert np.array_equal(c1, c2)
 
 
+def test_ivf_fit_sample_deterministic_and_pandas_twin(spark):
+    """Two invariants behind the ivf_topk value-hash oracle:
+    1. the Spark fit sample is order-deterministic — (hash, id)-sorted
+       truncation, not 'whichever partition arrives first' (ADVICE r2:
+       the old trailing .limit depended on file layout);
+    2. the sessionless pandas twin reproduces the sample EXACTLY
+       (same rows, same order, same float64 values), so the oracle
+       refits bit-identical centroids without a SparkSession."""
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_fit,
+        ivf_fit_pandas,
+        ivf_fit_sample,
+        ivf_fit_sample_pandas,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    s1 = ivf_fit_sample(emb, max_sample=40)
+    # repartitioned input → different partition layout → same sample
+    s2 = ivf_fit_sample(emb.repartition(13), max_sample=40)
+    m1 = np.vstack(s1.iloc[:, 0].to_numpy()).astype(np.float64)
+    m2 = np.vstack(s2.iloc[:, 0].to_numpy()).astype(np.float64)
+    assert np.array_equal(m1, m2)
+    mp = ivf_fit_sample_pandas(path, max_sample=40)
+    assert np.array_equal(m1, mp)
+    # end-to-end: sessionless refit is bit-identical
+    assert np.array_equal(
+        ivf_fit(emb, n_centroids=8, max_sample=40),
+        ivf_fit_pandas(path, n_centroids=8, max_sample=40),
+    )
+
+
+def test_ivf_cell_fold_matches_jvm_exact(spark):
+    """The fold-ordered pandas-UDF assignment (fast path used by the
+    registry query) is bit-identical to the pure-JVM fold twin — same
+    left-to-right IEEE arithmetic, so either side can back the DuckDB
+    oracle."""
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_fit,
+        with_ivf_cell_exact,
+        with_ivf_cell_fold,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_fit(emb, n_centroids=16)
+    a = with_ivf_cell_exact(emb, cents).select("vec_id", "ivf_cell").toPandas()
+    b = with_ivf_cell_fold(emb, cents).select("vec_id", "ivf_cell").toPandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert a["ivf_cell"].tolist() == b["ivf_cell"].tolist()
+
+
 def test_ivf_partitioned_table_prunes_scan(spark, tmp_path):
     """The IVF probe on a table written partitionBy('ivf_cell') becomes
     PARTITION PRUNING at the scan — the physical plan's PartitionFilters

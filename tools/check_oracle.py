@@ -107,6 +107,10 @@ def main() -> int:
     only = set(args[1:])
 
     sys.path.insert(0, ".")
+    import os
+
+    # lazy oracle generators (ivf_topk) read the oracle sf dir from env
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as E
 
     if plain:
