@@ -88,16 +88,19 @@ def minhash_lsh_pairs(
     signature → slice into `bands` rows of num_perm/bands values →
     hash each band → equi-join on (band_idx, band_hash) → distinct
     candidate pairs → estimate jaccard as matching-minhash fraction.
+
+    Cache lifecycle: the signature frame is persisted (it is read three
+    times — band hashing + the two candidate rejoins) and attached to
+    the returned DataFrame as ``result._persisted_deps``; callers
+    running many dedup passes in one long-lived session should call
+    ``unpersist_deps(result)`` once the pairs are materialized
+    (near_dedup_survivors does). At real scale you'd checkpoint/write
+    the signature table out instead.
     """
     rows_per_band = num_perm // bands
     sigged = with_minhash(df, text_col, num_perm, k, seed).select(
         F.col(id_col).alias("_id"), "minhash"
     )
-    # signatures are read three times below (band hashing + the two
-    # candidate rejoins); persist so the pandas-UDF signature pass runs
-    # once. At real scale you'd write the signature table out instead;
-    # the cached blocks are freed by the ContextCleaner when the frame
-    # is garbage collected.
     sigged = sigged.persist()
     band_structs = F.array(
         *[
@@ -152,11 +155,23 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(float(len(range(num_perm))))
-    return (
+    out = (
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
+    out._persisted_deps = [sigged]  # see docstring: caller-controlled unpersist
+    return out
+
+
+def unpersist_deps(df: DataFrame) -> None:
+    """Release caches a pairing operator persisted for its own
+    multi-read plan (attached as ``df._persisted_deps``). Call after
+    the pairs are materialized; a later lineage recompute (e.g. cache
+    eviction) stays correct, just slower. No-op for frames without
+    attached deps."""
+    for dep in getattr(df, "_persisted_deps", []):
+        dep.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -185,12 +200,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """Candidate pairs by banded simhash (pigeonhole: ≤max_hamming bit
     flips leave ≥1 of n_bands 16-bit bands identical), verified with an
-    exact popcount on the JVM (bit_count)."""
+    exact popcount on the JVM (bit_count).
+
+    ids-only banding (same shape as minhash_lsh_pairs): the band
+    self-join shuffles (band, bkey, _id) rows only — the 8-byte
+    simhash does NOT ride the explode ×n_bands×2 sides; it rejoins
+    once per surviving candidate from the persisted (id, simhash)
+    frame (attached as ``result._persisted_deps``; see
+    unpersist_deps)."""
     hashed = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    hashed = hashed.persist()  # pandas-UDF pass runs once (banding + rejoins)
     bits_per_band = 64 // n_bands
     banded = hashed.select(
         "_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -204,7 +226,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bs"),
-    ).select("_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    ).select("_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -216,15 +238,25 @@ def simhash_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l.simhash").alias("h_a"),
-            F.col("r.simhash").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            hashed.select(F.col("_id").alias("id_a"), F.col("simhash").alias("h_a")),
+            "id_a",
+        )
+        .join(
+            hashed.select(F.col("_id").alias("id_b"), F.col("simhash").alias("h_b")),
+            "id_b",
+        )
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    out = (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
+    out._persisted_deps = [hashed]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +354,10 @@ def near_dedup_survivors(
             threshold=threshold,
         )
     comp = connected_components(pairs)
+    # the component loop materialized the pairs; release the signature
+    # cache the pairing operator persisted for its own multi-read plan
+    # (ADVICE r2: executor storage otherwise held for the result's life)
+    unpersist_deps(pairs)
     drop = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -379,18 +415,24 @@ def ngram_jaccard_pairs(
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
     )
     if max_shingle_df is not None:
-        # document-frequency filter via a window on the shingle key:
-        # ONE exchange that the self-join below then reuses (both join
-        # sides arrive already hash-partitioned on shingle), versus the
-        # groupBy + semi-join formulation which costs two extra
-        # exchanges. Removes the quadratic hot-shingle groups.
-        shingled = (
-            shingled.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
-            .where(F.col("_df") <= max_shingle_df)
-            .drop("_df")
+        # document-frequency cap via TWO-PHASE count + anti-join, not a
+        # Window.partitionBy(shingle): WindowExec has no partial
+        # aggregation, so a boilerplate shingle in 10^9 docs would be
+        # scanned as one 10^9-row sorted partition in ONE task before
+        # being dropped. groupBy's partial count absorbs the hot key
+        # map-side, and the anti-join's build side holds only the
+        # OVER-cap shingles — typically tiny, so AQE picks a broadcast
+        # anti-join (no re-shuffle of the probe side on the skewed
+        # key); if a corpus somehow has GBs of hot shingles AQE falls
+        # back to a sort-merge anti-join with skew splitting instead of
+        # OOMing a forced broadcast.
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
         )
+        shingled = shingled.join(hot, "shingle", "left_anti")
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")))
@@ -513,15 +555,19 @@ def embedding_dup_pairs(
     expression in a nested-loop join. Each block pair is one task →
     the n²/block_size² grid parallelizes across executors. The grid is
     still quadratic in n, so above `max_exact_rows` the call
-    AUTO-ROUTES to the sign-LSH path (12 planes) rather than silently
-    running O(n²) — pass max_exact_rows=0 to force exact.
+    AUTO-ROUTES to the MULTISEED sign-LSH union
+    (embedding_dup_pairs_multiseed: t=4 independent 12-plane tables,
+    recall ≈ 1-(1-p^12)^4 ≈ 0.73 at θ=0.95 — NOT the single-table
+    ≈ 0.28) and emits a RuntimeWarning naming the recall trade-off,
+    rather than silently running O(n²). Pass max_exact_rows=0 to
+    force exact.
     n_planes>0: sign-LSH bucketing first (scale path): only pairs
     agreeing on all plane signs are compared — a bucket-keyed equi-join
     that avoids the quadratic grid entirely. For high thresholds
     (≥0.9) the sign agreement rate per plane is ≥ 1-acos(θ)/π ≈ 0.9,
     so recall with 12 planes is ≈ 0.9^12 ≈ 0.28 per probe table —
-    production use stacks multiple seeds (union of pair sets), same
-    shape as MinHash banding.
+    production use stacks multiple seeds (union of pair sets, the
+    multiseed helper below), same shape as MinHash banding.
 
     `dim` is the vector dimensionality, needed only for the LSH path;
     when omitted it is read with a one-row probe (avoid on large
@@ -538,9 +584,25 @@ def embedding_dup_pairs(
     if n_planes == 0:
         n = base.count()
         if max_exact_rows and n > max_exact_rows:
-            n_planes = 12  # quadratic guard: fall through to the LSH path
-        else:
-            return _dup_pairs_block_matmul(base, threshold, block_size, n=n)
+            # quadratic guard: route to the multiseed LSH union — the
+            # production recall shape (≈0.73 at θ=0.95 with t=4×12
+            # planes), never the ≈0.28 single-table
+            import warnings
+
+            warnings.warn(
+                f"embedding_dup_pairs: exact grid requested but n={n} > "
+                f"max_exact_rows={max_exact_rows}; routing to the multiseed "
+                "sign-LSH union (t=4, k=12: recall ≈0.73 at θ=0.95, no false "
+                "positives). Pass max_exact_rows=0 to force the O(n²) exact "
+                "grid, or call embedding_dup_pairs_multiseed with more seeds "
+                "for higher recall.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return embedding_dup_pairs_multiseed(
+                df, vec_col, id_col, threshold, n_planes=12, dim=dim
+            )
+        return _dup_pairs_block_matmul(base, threshold, block_size, n=n)
     if dim is None:
         dim = len(base.select("v").first()["v"])
     planes = H.hyperplane_signs(dim, n_planes, seed)

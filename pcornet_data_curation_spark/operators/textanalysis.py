@@ -201,12 +201,20 @@ def cross_doc_ngram_stats(
     of its k-grams that do.
 
     Plan shape for 10^12 docs: explode distinct k-gram hashes (the
-    shuffle rows are (gram:long, doc:long)), one grouped
-    countDistinct(doc) per gram — map-side combinable — semi-join the
-    shared grams back, one count per doc, left-join onto per-doc
-    totals. Everything is keyed by gram/doc; no pair explosion, unlike
-    the jaccard self-join. Oracle is the identical set algebra on the
-    gram STRINGS (hash-independent, since only equality matters).
+    shuffle rows are (gram:long, doc:long)), TWO-PHASE document
+    frequency — groupBy(gram).count() whose PARTIAL aggregation
+    absorbs hot grams map-side (a boilerplate 8-gram in 10^9 docs
+    reduces to one row per input partition before the exchange) —
+    then an equi-join of the per-gram count back onto the exploded
+    frame and one count per doc. The r2 Window.partitionBy(gram)
+    shape saved an exchange but materialized each gram's rows in ONE
+    task (WindowExec has no partial step): a 10^9-doc hot gram became
+    a single-core 10^9-row sorted partition. Here the join's probe
+    side is skew-splittable by AQE (the build side is one row per
+    gram), so no single task ever owns a hot gram. Everything is
+    keyed by gram/doc; no pair explosion, unlike the jaccard
+    self-join. Oracle is the identical set algebra on the gram
+    STRINGS (hash-independent, since only equality matters).
     """
     toks = _tokens(F.lower(F.col(text_col)))  # case-blind like the jaccard path
     n = F.size(toks)
@@ -219,19 +227,20 @@ def cross_doc_ngram_stats(
     base = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col).alias("_id"), grams.alias("grams"))
-    # grams are per-doc DISTINCT, so a plain COUNT over the gram window
-    # IS the document frequency — one exchange on the gram key replaces
-    # the groupBy-countDistinct + semi-join + per-doc-join shape (3
-    # exchanges and a triple recomputation of the shingling subtree)
-    from pyspark.sql import Window
-
+    # grams are per-doc DISTINCT, so a plain COUNT per gram IS the
+    # document frequency; keep only the shared grams (df > 1) — that
+    # projection is tiny relative to the exploded frame
     exploded = base.select("_id", F.explode("grams").alias("gram"))
+    shared = (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > 1)
+        .select("gram")
+    )
     per_doc = (
-        exploded.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-        )
+        exploded.join(shared, "gram")  # both sides partitioned on gram
         .groupBy("_id")
-        .agg(F.sum((F.col("_df") > 1).cast("long")).alias("shared_grams_n"))
+        .agg(F.count(F.lit(1)).alias("shared_grams_n"))
     )
     totals = base.select("_id", F.size("grams").alias("grams_n"))
     out = totals.join(per_doc, "_id", "left").na.fill({"shared_grams_n": 0})

@@ -118,23 +118,31 @@ def test_ngram_jaccard_df_cap(spark, docs):
         assert j <= full.get(p, 1.0) + 1e-9  # lower bound, never higher
 
 
-def test_embedding_dup_auto_routes_to_lsh(spark):
-    """Above max_exact_rows the exact request silently switching to the
-    quadratic grid is the r1 scale defect — it must route to sign-LSH:
-    result is a subset of exact pairs and the injected cosine-1.0
-    copies are found (identical vectors share every bucket)."""
+def test_embedding_dup_auto_routes_to_multiseed(spark):
+    """Above max_exact_rows the exact request must route to the
+    MULTISEED sign-LSH union (ADVICE r2: the single 12-plane table's
+    ≈0.28 recall at θ=0.95 was a silent 72% miss rate) and warn:
+    routed pairs ⊆ exact, recall ≥ the single-table route, and the
+    injected cosine-1.0 copies are found (identical vectors share
+    every bucket in every table)."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     both = emb.unionByName(dups)
     exact = embedding_dup_pairs(both, threshold=0.95, max_exact_rows=0).toPandas()
-    routed = embedding_dup_pairs(
-        both, threshold=0.95, max_exact_rows=10, dim=64
+    with pytest.warns(RuntimeWarning, match="multiseed"):
+        routed = embedding_dup_pairs(
+            both, threshold=0.95, max_exact_rows=10, dim=64
+        ).toPandas()
+    single = embedding_dup_pairs(
+        both, threshold=0.95, n_planes=12, dim=64
     ).toPandas()
     exact_set = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
     routed_set = {(a, b) for a, b in zip(routed.id_a, routed.id_b)}
+    single_set = {(a, b) for a, b in zip(single.id_a, single.id_b)}
     assert routed_set <= exact_set
+    assert single_set <= routed_set  # multiseed union ⊇ its first table
     injected = {(int(v), int(v) + 1000000) for v in dups.toPandas().vec_id - 1000000}
     assert injected <= routed_set  # identical copies always bucket together
 
