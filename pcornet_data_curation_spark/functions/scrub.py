@@ -83,18 +83,66 @@ SCRUB_PATTERNS: tuple[ScrubPattern, ...] = (
 )
 
 
-def ordered_patterns() -> list[ScrubPattern]:
-    return sorted(SCRUB_PATTERNS, key=lambda p: p.order)
+# Lookaround-FREE twin of the chain (the Java ∩ RE2 ∩ Python dialect):
+# same rule families, same order, same replacements, but without the
+# boundary lookarounds RE2 cannot express. This sub-chain is what the
+# DuckDB value-hash oracle replays (scrub_chain_core registry entry);
+# the production chain above keeps its lookarounds (scrub quality) and
+# its byte-identity gate against the Python `re` oracle in pytest.
+CORE_SCRUB_PATTERNS: tuple[ScrubPattern, ...] = (
+    ScrubPattern(
+        "core_email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+        "<EMAIL>",
+        10,
+    ),
+    ScrubPattern("core_ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>", 20),
+    ScrubPattern(
+        "core_phone",
+        r"\([0-9]{3}\)[ .-]?[0-9]{3}[ .-][0-9]{4}|[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}",
+        "<PHONE>",
+        30,
+    ),
+    ScrubPattern(
+        "core_ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>", 40
+    ),
+    ScrubPattern(
+        "core_card", r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}", "<CARD>", 50
+    ),
+    ScrubPattern(
+        "core_tox",
+        r"[Ff][Rr][Aa][Kk]|[Gg][Oo][Rr][Rr][Aa][Mm]|"
+        r"[Ss][Mm][Ee][Gg]|[Bb][Ee][Ll][Gg][Ii][Uu][Mm]",
+        "<TOX>",
+        60,
+    ),
+)
 
 
-def scrub_column(col):
-    """Spark Column: apply the full ordered scrub chain via JVM
+def ordered_patterns(patterns: tuple[ScrubPattern, ...] = SCRUB_PATTERNS) -> list[ScrubPattern]:
+    return sorted(patterns, key=lambda p: p.order)
+
+
+def scrub_column(col, patterns: tuple[ScrubPattern, ...] = SCRUB_PATTERNS):
+    """Spark Column: apply the ordered scrub chain via JVM
     regexp_replace (stays inside whole-stage codegen)."""
     from pyspark.sql import functions as F
 
     out = col
-    for p in ordered_patterns():
+    for p in ordered_patterns(patterns):
         out = F.regexp_replace(out, p.pattern, p.replacement)
+    return out
+
+
+def scrub_core_sql(col_sql: str) -> str:
+    """ANSI/DuckDB twin of scrub_column(col, CORE_SCRUB_PATTERNS):
+    the same nested ordered regexp_replace chain with the 'g' flag
+    (DuckDB replaces only the first match by default; Spark replaces
+    all). Patterns are lookaround-free so RE2 runs them, and both
+    engines use leftmost-first alternation."""
+    out = col_sql
+    for p in ordered_patterns(CORE_SCRUB_PATTERNS):
+        out = f"regexp_replace({out}, '{p.pattern}', '{p.replacement}', 'g')"
     return out
 
 

@@ -191,6 +191,53 @@ def dup_line_metrics(
     )
 
 
+def dup_line_metrics_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LINEAR twin of dup_line_metrics for long-document corpora: the
+    array-HOF default is O(distinct_lines × lines) per document inside
+    codegen (fine for web pages, quadratic for a pathological 20k-line
+    doc), so this variant explodes to (doc_id, line) rows and counts
+    occurrences with one groupBy — O(lines) work at the cost of a
+    doc-keyed shuffle. Output is row/value-identical to
+    dup_line_metrics (pytest-pinned + same SQL oracle)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = df.select(F.col(id_col).alias("_id"), lines.alias("lines"))
+    per_line = (
+        base.select("_id", F.explode("lines").alias("line"))
+        .groupBy("_id", "line")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    per_doc = per_line.groupBy("_id").agg(
+        F.sum("occ").alias("lines_n"),
+        F.count(F.lit(1)).alias("distinct_lines_n"),
+        F.sum(
+            F.when(F.col("occ") > 1, F.length("line").cast("long") * F.col("occ"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("dup_line_chars"),
+        F.sum(F.length("line").cast("long") * F.col("occ")).alias("line_chars"),
+    )
+    ids = base.select("_id")
+    out = ids.join(per_doc, "_id", "left").na.fill(
+        {"lines_n": 0, "distinct_lines_n": 0, "dup_line_chars": 0, "line_chars": 0}
+    )
+    frac = F.when(
+        F.col("line_chars") > 0, F.col("dup_line_chars") / F.col("line_chars")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("lines_n").cast("int").alias("lines_n"),
+        F.col("distinct_lines_n").cast("int").alias("distinct_lines_n"),
+        "dup_line_chars",
+        "line_chars",
+        frac.alias("dup_line_frac"),
+    )
+
+
 def cross_doc_ngram_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:

@@ -1118,30 +1118,159 @@ WHERE inter_n * 1.0 / (size_a + size_b - inter_n) >= 0.8
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (band bucket join). Hash family is
-    engine-specific → rows-only check."""
+    """MinHash+LSH near-dup pairs (band bucket join), FULLY
+    oracle-checked from literal signature fixtures: the oracle
+    generator computes each doc's signature with the same shared
+    hashing code the pandas UDF calls (functions.hashing — counter-
+    hashed, session-independent), embeds them as a VALUES table, and
+    DuckDB reproduces the banding, candidate join, estimate and
+    threshold. Banding parity needs no collision caveat: at
+    threshold 0.8 over 16 bands × 4 rows, ≥52/64 matching positions
+    leave ≥4 bands fully identical (pigeonhole), so content-equality
+    banding (oracle) and band-hash banding (engine) emit the same
+    final pair set."""
     return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.8).select(
         "id_a", "id_b"
     )
 
 
+def _oracle_docs_with_dups() -> list[tuple[int, str | None]]:
+    """Sessionless twin of _docs_with_dups for oracle generation."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    return rows + [(did + 1000000, txt) for did, txt in rows if did % 10 == 0]
+
+
+def _minhash_sig_values() -> str:
+    from pcornet_data_curation_spark.functions import hashing as H
+
+    return ",\n".join(
+        "(" + str(did) + ", ["
+        + ",".join(str(x) for x in H.minhash_signature(txt, num_perm=64, k=3, seed=42))
+        + "])"
+        for did, txt in _oracle_docs_with_dups()
+    )
+
+
+_MINHASH_BAND_SQL = """
+b AS (
+  SELECT doc_id, g.band AS band,
+         list_slice(sig, g.band * 4 + 1, g.band * 4 + 4) AS bkey
+  FROM sigs, range(16) g(band)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM b l JOIN b r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+""".strip()
+
+
+def _sql_minhash_pairs() -> str:
+    return f"""
+WITH sigs(doc_id, sig) AS (VALUES
+{_minhash_sig_values()}
+),
+{_MINHASH_BAND_SQL}
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+WHERE len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2])) / 64.0 >= 0.8
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash banded hamming near-dup pairs (rows-only check)."""
+    """SimHash banded hamming near-dup pairs, FULLY oracle-checked from
+    literal signature fixtures (same move as minhash): band keys are
+    exact 16-bit slices on both sides, and the pigeonhole guarantee
+    (≤3 flips leave ≥1 of 4 bands identical) makes the candidate sets
+    identical; the hamming verify is bit_count(xor) in both engines."""
     return simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3).select(
         "id_a", "id_b"
     )
 
 
+def _sql_simhash_pairs() -> str:
+    from pcornet_data_curation_spark.functions import hashing as H
+
+    entries = []
+    for did, txt in _oracle_docs_with_dups():
+        h = H.simhash64(txt)
+        hs = h - (1 << 64) if h >= (1 << 63) else h  # two's-complement BIGINT
+        bands = [(h >> (b * 16)) & 0xFFFF for b in range(4)]
+        entries.append(f"({did}, {hs}, {bands[0]}, {bands[1]}, {bands[2]}, {bands[3]})")
+    vals = ",\n".join(entries)
+    return f"""
+WITH sigs(doc_id, simhash, b0, b1, b2, b3) AS (VALUES
+{vals}
+),
+b AS (
+  SELECT doc_id, 0 AS band, b0 AS bkey FROM sigs
+  UNION ALL SELECT doc_id, 1, b1 FROM sigs
+  UNION ALL SELECT doc_id, 2, b2 FROM sigs
+  UNION ALL SELECT doc_id, 3, b3 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM b l JOIN b r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
 def q_near_dedup_survivors(spark, sf_dir):
     """End-to-end near-dedup: MinHash-LSH pairs → distributed
-    connected components → min-id survivor per component (rows-only:
-    the hash family is engine-specific; the component algorithm is
-    union-find-oracle-tested in pytest)."""
+    connected components → min-id survivor per component. FULLY
+    oracle-checked: the pairs come from the same literal-signature
+    banding as q_minhash_pairs (threshold 0.9 → ≥58/64 matches → ≥10
+    identical bands, pigeonhole again) and the closure is a recursive
+    CTE — the same fixpoint the min-label propagation converges to."""
     from pcornet_data_curation_spark.operators.dedup import near_dedup_survivors
 
     return near_dedup_survivors(_docs_with_dups(spark, sf_dir), threshold=0.9).select(
         "doc_id"
     )
+
+
+def _sql_near_dedup_survivors() -> str:
+    return f"""
+WITH RECURSIVE sigs(doc_id, sig) AS (VALUES
+{_minhash_sig_values()}
+),
+{_MINHASH_BAND_SQL},
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2])) / 64.0 >= 0.9
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+d AS ({_DOCS_WITH_DUPS_SQL})
+SELECT d.doc_id FROM d
+LEFT JOIN cc ON cc.node = d.doc_id
+WHERE cc.node IS NULL OR cc.comp = d.doc_id
+"""
 
 
 def q_dup_line_metrics(spark, sf_dir):
@@ -1151,6 +1280,14 @@ def q_dup_line_metrics(spark, sf_dir):
     algebra)."""
     docs = _t(spark, sf_dir, "documents")
     return TA.dup_line_metrics(docs)
+
+
+def q_dup_line_metrics_exploded(spark, sf_dir):
+    """Linear explode+groupBy twin of dup_line_metrics for
+    long-document corpora (the array-HOF default is quadratic in
+    lines-per-doc); identical output, same oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.dup_line_metrics_exploded(docs)
 
 
 SQL_DUP_LINE_METRICS = """
@@ -1429,9 +1566,47 @@ FROM documents
 
 def q_scrub_full(spark, sf_dir):
     """Full ordered PII/toxicity scrub chain (rows-only: Java lookarounds
-    are outside RE2; byte-identity is pytest-verified)."""
+    are outside RE2; byte-identity is pytest-verified; the lookaround-
+    free sub-chain is value-hash-checked by scrub_chain_core)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", scrub_column(F.col("text")).alias("scrubbed_text"))
+
+
+# every PII family of the chain, concatenated onto each document so the
+# core chain has real work in BOTH engines (the driver corpus itself
+# carries no SSNs/cards); built identically as a Spark literal and a
+# SQL literal
+_PII_SUFFIX = (
+    " contact bob.smith+x@example.com ssn 123-45-6789 phone (415) 555-0113"
+    " or 415 555 0113 ip 10.42.7.255 card 4242 4242-4242 4242 frak smeg"
+)
+
+
+def q_scrub_chain_core(spark, sf_dir):
+    """Ordered multi-rule scrub chain, value-hash-checked end-to-end:
+    the lookaround-free twin of the production chain (same families,
+    same order, same replacements — functions.scrub.CORE_SCRUB_PATTERNS)
+    runs as nested JVM regexp_replace here and as the identical nested
+    RE2 chain in DuckDB. PII of every family is injected via a shared
+    literal suffix so the chain demonstrably rewrites bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    from pcornet_data_curation_spark.functions.scrub import CORE_SCRUB_PATTERNS
+
+    payload = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(_PII_SUFFIX))
+    return docs.select(
+        "doc_id", scrub_column(payload, CORE_SCRUB_PATTERNS).alias("scrubbed_core")
+    )
+
+
+def _sql_scrub_chain_core() -> str:
+    from pcornet_data_curation_spark.functions.scrub import scrub_core_sql
+
+    suffix_sql = _PII_SUFFIX.replace("'", "''")
+    inner = f"coalesce(text, '') || '{suffix_sql}'"
+    return f"SELECT doc_id, {scrub_core_sql(inner)} AS scrubbed_core FROM documents"
+
+
+SQL_SCRUB_CHAIN_CORE = _sql_scrub_chain_core()
 
 
 # --- rule engine + verdict (flagship) ---------------------------------------
@@ -1839,11 +2014,12 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, SQL_NGRAM_JACCARD_CAPPED),
     "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),
+    "dup_line_metrics_exploded": (q_dup_line_metrics_exploded, SQL_DUP_LINE_METRICS),
     "cross_doc_ngrams": (q_cross_doc_ngrams, SQL_CROSS_DOC_NGRAMS),
-    "minhash_lsh_pairs": (q_minhash_pairs, None),
-    "near_dedup_survivors": (q_near_dedup_survivors, None),
+    "minhash_lsh_pairs": (q_minhash_pairs, _sql_minhash_pairs),
+    "near_dedup_survivors": (q_near_dedup_survivors, _sql_near_dedup_survivors),
     "near_dedup_survivors_exact": (q_near_dedup_survivors_exact, SQL_NEAR_DEDUP_SURVIVORS_EXACT),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs),
     "fingerprint": (q_fingerprint, None),
     "fingerprint_md5": (q_fingerprint_md5, SQL_FINGERPRINT_MD5),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -1851,6 +2027,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "scrub_email": (q_scrub_email, SQL_SCRUB_EMAIL),
+    "scrub_chain_core": (q_scrub_chain_core, SQL_SCRUB_CHAIN_CORE),
     "scrub_full": (q_scrub_full, None),
     "rule_flags_summary": (q_rule_flags_summary, SQL_RULE_FLAGS_SUMMARY),
     "verdict_documents": (q_verdict_documents, SQL_VERDICT_DOCUMENTS),
@@ -1890,8 +2067,9 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "minhash_lsh_pairs", "near_dedup_survivors",
         "near_dedup_survivors_exact", "simhash_pairs",
         "fingerprint", "fingerprint_md5", "token_stats", "bpe_token_count", "quality_score",
-        "langid_heuristic", "dup_line_metrics", "cross_doc_ngrams",
-        "scrub_email", "scrub_full",
+        "langid_heuristic", "dup_line_metrics", "dup_line_metrics_exploded",
+        "cross_doc_ngrams",
+        "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
         "lsh_topk", "ivf_topk",

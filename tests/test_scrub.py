@@ -56,3 +56,40 @@ def test_scrub_series_matches_scalar():
     vec = scrub_series_py(s).tolist()
     scal = [scrub_text_py(x) for x in s]
     assert [v if isinstance(v, str) else None for v in vec] == scal
+
+
+def test_core_chain_jvm_python_re2_identity(spark):
+    """The lookaround-free core chain must agree byte-for-byte across
+    all THREE engines (JVM regexp_replace, Python re, DuckDB RE2) —
+    it backs the scrub_chain_core value-hash oracle."""
+    import re
+
+    import duckdb
+
+    from pcornet_data_curation_spark.functions.scrub import (
+        CORE_SCRUB_PATTERNS,
+        ordered_patterns,
+        scrub_core_sql,
+    )
+
+    def core_py(t):
+        for p in ordered_patterns(CORE_SCRUB_PATTERNS):
+            t = re.sub(p.pattern, p.replacement, t)
+        return t
+
+    rows = [t for t in ADVERSARIAL if t is not None]
+    pdf = pd.DataFrame({"id": range(len(rows)), "text": rows})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select("id", scrub_column(F.col("text"), CORE_SCRUB_PATTERNS).alias("s"))
+        .toPandas().sort_values("id")["s"].tolist()
+    )
+    want_py = [core_py(t) for t in rows]
+    assert got == want_py
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want_duck = (
+        con.sql(f"SELECT id, {scrub_core_sql('text')} AS s FROM t ORDER BY id")
+        .df()["s"].tolist()
+    )
+    assert got == want_duck

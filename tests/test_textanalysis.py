@@ -107,3 +107,35 @@ def test_bpe_token_count_behaviour(spark):
     assert got[2] == 3
     assert got[3] == 3
     assert got[4] == 0 and got[5] == 0
+
+
+def test_dup_line_metrics_shapes_identical(spark):
+    """The linear explode+groupBy twin must be row/value-identical to
+    the zero-shuffle array-HOF default (both feed the same SQL oracle);
+    fixture includes multi-dup lines, blank lines, null and empty
+    docs."""
+    from pcornet_data_curation_spark.operators.textanalysis import (
+        dup_line_metrics,
+        dup_line_metrics_exploded,
+    )
+
+    rows = [
+        (1, "nav\ncontent a\nnav\nfooter\nnav"),
+        (2, "only\nunique\nlines here"),
+        (3, "x\n\n  \nx\n\nx"),
+        (4, None),
+        (5, ""),
+        (6, "same\nsame\nsame\nsame"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dup_line_metrics(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        dup_line_metrics_exploded(df)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd_testing = __import__("pandas.testing", fromlist=["assert_frame_equal"])
+    pd_testing.assert_frame_equal(a, b, check_dtype=True)
+    # sanity on the fixture: doc 1 has 3 'nav' dups, doc 6 is all-dup
+    r1 = a[a.doc_id == 1].iloc[0]
+    assert r1["lines_n"] == 5 and r1["dup_line_chars"] == 9
+    assert a[a.doc_id == 6].iloc[0]["dup_line_frac"] == 1.0
