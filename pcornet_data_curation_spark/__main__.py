@@ -32,6 +32,18 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--salt", type=int, default=4)
     p.add_argument("--cores", type=int, default=None, help="local[N]; omit on a cluster")
     p.add_argument("--rule-overrides", default=None, help="JSON dict of rule overrides")
+    p.add_argument(
+        "--csv",
+        action="store_true",
+        help="also export every report as CSV under <output>/csv/ "
+        "(the reference's &_csv=YES print-stage gate)",
+    )
+    p.add_argument(
+        "--prior",
+        default=None,
+        help="prior run's output root: enables distribution-shift and "
+        "threshold-trend checks against its metrics table",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -112,6 +124,8 @@ def main(argv: list[str] | None = None) -> int:
         salt_factor=args.salt,
         rule_overrides=json.loads(args.rule_overrides) if args.rule_overrides else {},
         output_root=args.output,
+        prior_run_root=args.prior,
+        export_csv=args.csv,
     )
     result = run_pipeline(spark, open_table(spark, args.input), cfg)
     print(json.dumps({"outputs": {k: v for k, v in result.items() if k != "stats"},

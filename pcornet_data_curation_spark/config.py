@@ -44,6 +44,17 @@ class PipelineConfig:
     # Output root for tables, manifest, lineage.
     output_root: str = "/tmp/pdcs_out"
 
+    # Prior run's output root (optional): enables the distribution-
+    # shift (drift) and threshold-trend check families — the reference
+    # EDC's cross-run comparisons (edc_report.sas compares current vs
+    # previous-refresh values). None → those checks report n/a.
+    prior_run_root: str | None = None
+
+    # Also export every report as CSV next to the parquet (the
+    # reference print stage's &_csv=YES gate,
+    # data_curation_print.sas:121-150).
+    export_csv: bool = False
+
     @property
     def lookback_cutoff(self) -> dt.date:
         try:

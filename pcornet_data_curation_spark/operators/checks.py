@@ -72,6 +72,34 @@ DEFAULT_CHECKS: tuple[Check, ...] = (
     # -- 9.x per-bucket rule behavior (rule_summary) -----------------------
     Check("9.01", "rule rejects nearly everything in a bucket", "rule_summary", "fail_pct", "gt", 95.0, "blue", family="rules"),
     Check("9.02", "empty bucket", "rule_summary", "records", "lt", 1.0, "red", family="rules"),
+    # -- extended conformance / distribution (v20 breadth) ------------------
+    Check("2.04", "scrubbed_text nulls on curated rows", "pages_tag", "null_n", "gt", 0.0, "blue", category="curated|scrubbed_text", family="conformance"),
+    Check("2.05", "declared-lang cardinality degenerate", "pages_tag", "distinct_n", "lt", 2.0, "blue", category="curated|lang", family="conformance"),
+    Check("4.03", "scrub never fires (patterns dead?)", "scrub_summary", "scrub_pct", "lt", 0.01, "blue", family="scrub"),
+    Check("6.04", "language monoculture (en > 98%)", "lang_dist", "record_pct", "gt", 98.0, "blue", category="en", family="distribution"),
+    Check("6.05", "out-of-valueset language share high", "lang_dist", "record_pct", "gt", 30.0, "red", category="Values outside of CDM specifications", family="distribution"),
+    # -- 10.x referential integrity (referential_summary) -------------------
+    Check("10.01", "kept rows missing scrubbed text", "referential_summary", "kept_null_scrub_n", "gt", 0.0, "red", family="referential"),
+    Check("10.02", "urls split across buckets (store corruption)", "referential_summary", "cross_bucket_dup_url_n", "gt", 0.0, "red", family="referential"),
+    Check("10.03", "null urls in curated table", "referential_summary", "null_url_n", "gt", 0.0, "red", family="referential"),
+    Check("10.04", "lang_pred outside valueset", "referential_summary", "lang_nonvalueset_n", "gt", 0.0, "blue", family="referential"),
+    Check("10.05", "dropped docs longer than kept (filter inverted?)", "referential_summary", "drop_keep_token_ratio", "gt", 1.0, "blue", family="referential"),
+    # -- 11.x distribution shift vs prior run (drift|*) ----------------------
+    # metrics exist only when cfg.prior_run_root is set; absent rows
+    # evaluate to observed=NULL → exception=false (n/a), like the
+    # reference's previous-refresh comparisons on a first refresh
+    Check("11.01", "keep rate moved >5 pts vs prior run", "drift|verdict_summary", "keep_pct__absdelta", "gt", 5.0, "blue", family="drift"),
+    Check("11.02", "keep rate moved >15 pts vs prior run", "drift|verdict_summary", "keep_pct__absdelta", "gt", 15.0, "red", family="drift"),
+    Check("11.03", "record volume moved >50% vs prior run", "drift|verdict_summary", "records__relpct", "gt", 50.0, "blue", family="drift"),
+    Check("11.04", "english share moved >10 pts vs prior run", "drift|lang_dist", "record_pct__absdelta", "gt", 10.0, "blue", category="en", family="drift"),
+    Check("11.05", "perplexity mean moved >30% vs prior run", "drift|ppl_stats", "mean__relpct", "gt", 30.0, "blue", family="drift"),
+    Check("11.06", "scrub hit-rate moved >10 pts vs prior run", "drift|scrub_summary", "scrub_pct__absdelta", "gt", 10.0, "blue", family="drift"),
+    Check("11.07", "token mean of kept docs moved >30% vs prior", "drift|tokens_by_keep", "mean__relpct", "gt", 30.0, "blue", category="true", family="drift"),
+    # -- 12.x per-report staleness (report_staleness) ------------------------
+    Check("12.01", "report older than curated data (resume died mid-report)", "report_staleness", "stale", "gt", 0.0, "red", family="staleness"),
+    Check("12.02", "report older than 7 days", "report_staleness", "age_sec", "gt", 604800.0, "blue", family="staleness"),
+    # -- 13.x threshold-crossing trend (threshold_trend) ---------------------
+    Check("13.01", "metric within 20% of a threshold and moving toward it", "threshold_trend", "approaching", "gt", 0.0, "blue", family="trend"),
 )
 
 

@@ -463,3 +463,53 @@ def crosstab(
     return counts.withColumn(
         "record_pct", _pct_expr(F.col("record_n"), total)
     ).orderBy(*levels)
+
+
+def referential_summary(
+    cur: "DataFrame",
+    lang_valueset: list[str],
+    text_col: str = "scrubbed_text",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Referential/integrity counts over the curated table — the
+    reference EDC's orphan-record family (edc_report.sas: orphan
+    PATID/ENCOUNTERID checks) recast for the webtext schema:
+
+    * kept_null_scrub_n — keep=true rows with NULL scrubbed text (a
+      kept row must carry its deliverable);
+    * cross_bucket_dup_url_n — urls present in >1 bucket directory
+      (the bucket function is a pure url hash, so this can only mean
+      store corruption / a bucketing-code change mid-run);
+    * lang_nonvalueset_n — lang_pred outside the declared valueset;
+    * kept_mean_tokens / dropped_mean_tokens / drop_keep_token_ratio —
+      filter-sanity: dropped docs averaging LONGER than kept docs
+      suggests an inverted predicate.
+
+    Two aggregation passes: one over the row-level flags, one
+    url-grouped countDistinct(bucket) for the cross-bucket dup count;
+    both shuffle only (key, count) rows.
+    """
+    flags = cur.agg(
+        F.count(F.lit(1)).alias("records"),
+        F.sum(
+            (F.col("keep") & F.col(text_col).isNull()).cast("long")
+        ).alias("kept_null_scrub_n"),
+        F.sum(F.col(url_col).isNull().cast("long")).alias("null_url_n"),
+        F.sum(
+            (~F.col("lang_pred").isin(lang_valueset) & F.col("lang_pred").isNotNull())
+            .cast("long")
+        ).alias("lang_nonvalueset_n"),
+        F.avg(F.when(F.col("keep"), F.col("n_tokens"))).alias("kept_mean_tokens"),
+        F.avg(F.when(~F.col("keep"), F.col("n_tokens"))).alias("dropped_mean_tokens"),
+    )
+    cross = (
+        cur.groupBy(url_col)
+        .agg(F.countDistinct("bucket").alias("_nb"))
+        .agg(F.sum((F.col("_nb") > 1).cast("long")).alias("cross_bucket_dup_url_n"))
+    )
+    out = flags.crossJoin(cross)
+    ratio = F.when(
+        F.col("kept_mean_tokens").isNotNull() & (F.col("kept_mean_tokens") > 0),
+        F.coalesce(F.col("dropped_mean_tokens"), F.lit(0.0)) / F.col("kept_mean_tokens"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("drop_keep_token_ratio", ratio)

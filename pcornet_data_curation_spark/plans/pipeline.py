@@ -90,6 +90,7 @@ EXPECTED_REPORTS = [
     "run_metadata",
     "extraction_summary",
     "dash_activity",
+    "referential_summary",
 ]
 
 
@@ -316,6 +317,12 @@ def run_pipeline(
             cur, "warc_ts", windows, distinct_col="url"
         )
 
+    with tracker.stage("report_referential_summary"):
+        # orphan/integrity family (reference EDC orphan-record checks)
+        from pcornet_data_curation_spark.operators.reports import referential_summary
+
+        reports["referential_summary"] = referential_summary(cur, LANG_VALUESET)
+
     with tracker.stage("report_scrub_summary"):
         hits = F.sum(F.col("scrub_hit").cast("long"))
         total = F.count(F.lit(1))
@@ -339,8 +346,18 @@ def run_pipeline(
         )
 
     reports_path = os.path.join(out, "reports")
+    csv_path = os.path.join(out, "csv")
     for name, rdf in reports.items():
         rdf.write.mode("overwrite").parquet(os.path.join(reports_path, name))
+        if cfg.export_csv:
+            # reference &_csv=YES gate (data_curation_print.sas:121-150);
+            # reports are small aggregates, so a single CSV file each
+            from pcornet_data_curation_spark.sources.tables import export_csv
+
+            export_csv(
+                spark.read.parquet(os.path.join(reports_path, name)),
+                os.path.join(csv_path, name),
+            )
         manifest.mark_report(name)
     manifest.save()
 
@@ -363,9 +380,45 @@ def run_pipeline(
             melt_report(rread["run_metadata"], "run_metadata", ["meta_key"]),
             melt_report(rread["extraction_summary"], "extraction_summary", []),
             melt_report(rread["dash_activity"], "dash_activity", ["window"]),
+            melt_report(rread["referential_summary"], "referential_summary", []),
         ]
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)
+
+        # cross-run metric families (drift / staleness / trend): metric
+        # ROWS appended to the same normalized table so the data-driven
+        # check registry evaluates them like any other statistic. All
+        # inputs are tiny aggregated tables — cost independent of corpus
+        # size. Drift compares FIRST-ORDER metrics only (a prior run's
+        # own drift/trend/staleness rows are excluded on both sides).
+        import time as _time
+
+        from pcornet_data_curation_spark.operators.drift import (
+            drift_metrics,
+            staleness_metrics,
+            trend_metrics,
+        )
+
+        _DERIVED = ("drift|", "threshold_trend", "report_staleness")
+
+        def _first_order(m):
+            cond = ~F.col("dc_name").startswith("drift|")
+            for d in _DERIVED[1:]:
+                cond = cond & (F.col("dc_name") != d)
+            return m.where(cond)
+
+        extra = [staleness_metrics(manifest.data, _time.time(), spark)]
+        if cfg.prior_run_root:
+            prior_path = os.path.join(cfg.prior_run_root, "metrics")
+            try:
+                prior = _first_order(spark.read.parquet(prior_path))
+            except Exception:
+                prior = None  # first refresh: drift/trend report n/a
+            if prior is not None:
+                now_fo = _first_order(metrics)
+                extra.append(drift_metrics(now_fo, prior))
+                extra.append(trend_metrics(DEFAULT_CHECKS, now_fo, prior))
+        metrics = assemble_metrics([metrics, *extra])
         metrics_path = os.path.join(out, "metrics")
         metrics.write.mode("overwrite").parquet(metrics_path)
 

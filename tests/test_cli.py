@@ -51,3 +51,36 @@ def test_cli_queries_part_runs(tmp_path, capsys):
     assert out["rows"]["pricing_summary"] > 0
     import os
     assert os.path.exists(tmp_path / "q" / "topn_sources" / "_SUCCESS")
+
+
+def test_cli_csv_export_and_prior(spark, tmp_path, capsys):
+    """--csv mirrors the reference's &_csv=YES print gate (one CSV per
+    report under <out>/csv/); --prior enables the drift family against
+    the named run's metrics."""
+    import glob
+    import os
+
+    pages = str(tmp_path / "pages")
+    out1 = str(tmp_path / "r1")
+    out2 = str(tmp_path / "r2")
+    assert main(["gen-pages", "--n", "300", "--output", pages, "--cores", "8"]) == 0
+    capsys.readouterr()
+    assert main(
+        ["run", "--input", pages, "--output", out1, "--buckets", "4",
+         "--cores", "8", "--csv"]
+    ) == 0
+    capsys.readouterr()
+    for name in ("verdict_summary", "lang_dist", "referential_summary"):
+        files = glob.glob(os.path.join(out1, "csv", name, "*.csv"))
+        assert files, f"no CSV for {name}"
+        with open(files[0]) as f:
+            assert f.readline().strip()  # header row present
+    # second run with --prior: drift metrics appear in run 2's table
+    assert main(
+        ["run", "--input", pages, "--output", out2, "--buckets", "4",
+         "--cores", "8", "--prior", out1]
+    ) == 0
+    capsys.readouterr()
+    m = spark.read.parquet(os.path.join(out2, "metrics")).toPandas()
+    assert m["dc_name"].str.startswith("drift|").any()
+    assert (m["dc_name"] == "threshold_trend").any()
