@@ -15,6 +15,10 @@ surface a web-scale ingest needs).
   State per user = ONE open session triple; closed sessions emit as
   soon as a larger gap arrives in-batch, or via watermark timeout when
   the stream goes quiet — O(active users) state, never O(events).
+  Late-but-within-watermark events arriving in a LATER micro-batch
+  MERGE into the open session (start=min, last=max) instead of
+  regressing it; see stream_sessionize for the exact rules and the
+  documented divergences from the batch twin.
 """
 
 from __future__ import annotations
@@ -110,6 +114,27 @@ def stream_sessionize(
     per user) and emitted by event-time timeout once the watermark
     passes last_event + gap — so quiet users' state is reclaimed and
     total state is O(active users).
+
+    Out-of-order handling (events arriving in a LATER micro-batch with
+    ts at or before the open session's last event — the case
+    watermarks exist for):
+
+    * within the open session's span, or within `gap` of its start:
+      MERGE — start = min(start, t), last = max(last, t), n += 1; the
+      gap test always compares against the running max, so a late
+      event never regresses the session or splits it spuriously;
+    * more than `gap` BEFORE the open session's start: it can never
+      merge, so it forms its own (possibly multi-event) session and
+      emits at the end of the batch.
+
+    Residual divergences from the batch twin (which sorts the complete
+    log globally): (a) a late event landing within `gap` of a session
+    that was ALREADY emitted in an earlier batch emits as a separate
+    session rather than re-opening it — append-mode output is
+    immutable; (b) the early-session emission in the second rule
+    cannot merge with yet-later arrivals. Both affect only events
+    later than their neighbors by more than a micro-batch, and never
+    lose events.
     """
     gap_us = gap_minutes * 60 * _US
     ev = events_stream.withWatermark(ts_col, watermark).select(
@@ -147,16 +172,41 @@ def stream_sessionize(
         if state.exists:
             start, last, n = state.get
         else:
-            # n=0 sentinel: the first event below opens the session
-            start, last, n = int(ts[0]), int(ts[0]), 0
+            start = last = None
+            n = 0
         closed = []
+        # run of late events > gap BEFORE the open session's start: they
+        # can never merge with it; batch-sorted order means they are a
+        # contiguous prefix of ts, so one builder suffices
+        early = None
         for t in ts:
             t = int(t)
-            if n > 0 and t - last > gap_us:
+            if start is not None and t < start - gap_us:
+                if early is None:
+                    early = [t, t, 1]
+                elif t - early[1] > gap_us:
+                    closed.append(tuple(early))
+                    early = [t, t, 1]
+                else:
+                    early[1] = t
+                    early[2] += 1
+                continue
+            if start is None:
+                start, last, n = t, t, 1
+            elif t > last + gap_us:
                 closed.append((start, last, n))
-                start, n = t, 0
-            n += 1
-            last = t
+                start, last, n = t, t, 1
+            else:
+                # merge: a late event extends the session backwards or
+                # lands inside it; last only ever moves FORWARD, so the
+                # gap test above always compares against the running max
+                if t < start:
+                    start = t
+                if t > last:
+                    last = t
+                n += 1
+        if early is not None:
+            closed.append(tuple(early))
         state.update((start, last, n))
         # event-time timeout: fires when the watermark passes the gap
         state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)

@@ -158,3 +158,62 @@ def test_stream_sessionize_gap_splitting(spark, tmp_path):
     ).tolist()
     assert spans == [10.0, 5.0, 0.0, 20.0]
     assert got["session_start"].iloc[0] == pd.Timestamp(t0)
+
+
+def test_stream_sessionize_late_events_merge(spark, tmp_path):
+    """Cross-batch out-of-order arrivals (the case watermarks exist
+    for) MERGE into the open session instead of regressing it.
+
+    Old-bug scenario this pins down: batch 2 delivers m(95) while the
+    open session's last is m(100); an unconditional `last = t` would
+    regress last to 95, making batch 3's m(128) look like a >30-min
+    gap and emit a session with session_end < session_start. The merge
+    fold keeps (start=min, last=max), so 95 extends the session
+    backwards and 128 extends it forwards. A batch-3 straggler at
+    m(20) — more than the gap before the open start — emits as its own
+    session (documented divergence: its batch-twin neighbor closed in
+    batch 1 and append-mode output is immutable)."""
+    import datetime as dt
+
+    from pcornet_data_curation_spark.streaming.stateful import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    indir = str(tmp_path / "ev_in")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(batch_rows):
+        spark.createDataFrame(
+            [(1, m(x)) for x in batch_rows], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(indir)
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(indir)
+        q = (
+            stream_sessionize(stream, gap_minutes=30, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain([0, 10, 100])   # emits (0,10,2); open (100,100,1)
+    drain([95])           # late: merges -> open (95,100,2)
+    drain([20, 128, 300]) # 20 early-emits; 128 merges; 300 closes (95,128,3)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    mins = lambda c: [(x - t0).total_seconds() / 60 for x in got[c]]
+    assert mins("session_start") == [0.0, 20.0, 95.0]
+    assert mins("session_end") == [10.0, 20.0, 128.0]
+    assert got["events_n"].tolist() == [2, 1, 3]
+    # invariant the old fold violated: end never precedes start
+    assert (got["session_end"] >= got["session_start"]).all()
