@@ -2,9 +2,10 @@
 
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 partitioning) is real and tested. Header-level decode (format sniff +
-pixel dimensions for PNG / JPEG / GIF) is a REAL pure-Python parser —
-no fakes; full pixel decode (and audio/video) still needs PIL/librosa/
-ffmpeg, which don't exist in this container, so frame_sample remains a
+pixel dimensions for PNG / JPEG / GIF, and sample-rate / channels /
+duration for WAV-RIFF / MP3) is a REAL pure-Python parser — no fakes;
+full sample decode (and video) still needs PIL/librosa/ffmpeg, which
+don't exist in this container, so frame_sample remains a
 clearly-marked deterministic stand-in for the batch shape a real
 sampler would use.
 """
@@ -129,6 +130,146 @@ def image_metadata(df: DataFrame, bin_col: str = "html", id_col: str = "doc_id")
             yield out[["doc_id", "n_bytes", "format", "width", "height", "decode_ok"]]
 
     return df.select(id_col, bin_col).mapInPandas(extract, IMAGE_META_DDL)
+
+
+AUDIO_META_DDL = (
+    "doc_id long, n_bytes int, format string, sample_rate int, channels int, "
+    "bits_per_sample int, bitrate_kbps int, duration_sec double, decode_ok boolean"
+)
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3).
+# Sample rates by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1).
+_MP3_RATES = {
+    0b11: (44100, 48000, 32000),
+    0b10: (22050, 24000, 16000),
+    0b00: (11025, 12000, 8000),
+}
+# Layer III bitrates (kbps) by bitrate index; 0=free, 15=bad.
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+
+def _wav_meta(b: bytes) -> dict | None:
+    """RIFF/WAVE: walk chunks for 'fmt ' (channels, sample rate, bits)
+    and 'data' (payload size → duration at the fmt byte rate)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = data_size = None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            fmt = {
+                "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(b[i + 12 : i + 16], "little"),
+                "byte_rate": int.from_bytes(b[i + 16 : i + 20], "little"),
+                "bits_per_sample": int.from_bytes(b[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not fmt or fmt["sample_rate"] <= 0 or fmt["channels"] <= 0:
+        return None
+    dur = (
+        data_size / fmt["byte_rate"]
+        if data_size is not None and fmt["byte_rate"] > 0
+        else None
+    )
+    return {
+        "format": "wav",
+        "sample_rate": fmt["sample_rate"],
+        "channels": fmt["channels"],
+        "bits_per_sample": fmt["bits_per_sample"],
+        "bitrate_kbps": fmt["byte_rate"] * 8 // 1000 if fmt["byte_rate"] else None,
+        "duration_sec": dur,
+    }
+
+
+def _mp3_meta(b: bytes) -> dict | None:
+    """MP3: skip an optional ID3v2 tag (synchsafe size), then parse the
+    first MPEG Layer III frame header (version, bitrate, sample rate,
+    channel mode). Duration is the CBR estimate over the post-tag
+    payload — the same figure fast audio scanners report without
+    walking every frame."""
+    off = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        off = 10 + (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+    if off + 4 > len(b):
+        return None
+    h = b[off : off + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    version = (h[1] >> 3) & 0b11
+    layer = (h[1] >> 1) & 0b11
+    if version == 0b01 or layer != 0b01:  # reserved version / not Layer III
+        return None
+    br_idx = (h[2] >> 4) & 0xF
+    sr_idx = (h[2] >> 2) & 0b11
+    if br_idx in (0, 15) or sr_idx == 0b11:
+        return None
+    rates = _MP3_RATES[version]
+    bitrates = _MP3_BITRATES_V1 if version == 0b11 else _MP3_BITRATES_V2
+    sample_rate = rates[sr_idx]
+    bitrate = bitrates[br_idx]
+    channels = 1 if ((h[3] >> 6) & 0b11) == 0b11 else 2
+    return {
+        "format": "mp3",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": None,
+        "bitrate_kbps": bitrate,
+        "duration_sec": (len(b) - off) * 8 / (bitrate * 1000),
+    }
+
+
+def decode_audio_meta(payload: bytes | None, strict: bool = False) -> dict:
+    """Header-level audio decode: WAV-RIFF fmt/data chunk walk or MP3
+    frame-header parse (pure Python, no libraries). decode_ok=True only
+    when real parameters were parsed; non-audio / truncated payloads →
+    decode_ok=False with NULL fields, or raise when strict=True."""
+    base = {
+        "n_bytes": 0 if payload is None else len(payload),
+        "format": None, "sample_rate": None, "channels": None,
+        "bits_per_sample": None, "bitrate_kbps": None,
+        "duration_sec": None, "decode_ok": False,
+    }
+    if payload is None:
+        return base
+    meta = _wav_meta(payload) or _mp3_meta(payload)
+    if meta is None:
+        if strict:
+            raise NotImplementedError(
+                "cannot parse audio parameters from payload (full decoders "
+                "unavailable in this environment)"
+            )
+        base["format"] = "bin"
+        return base
+    return {**base, **meta, "decode_ok": True}
+
+
+def audio_metadata(df: DataFrame, bin_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas extractor: binary column → typed audio metadata rows
+    (AUDIO_META_DDL). Arrow-batched, one Python pass per batch; same
+    plumbing shape as image_metadata."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_audio_meta(p) for p in pdf[bin_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            for c in ("sample_rate", "channels", "bits_per_sample", "bitrate_kbps"):
+                out[c] = out[c].astype("Int32")
+            out["duration_sec"] = out["duration_sec"].astype("float64")
+            yield out[
+                ["doc_id", "n_bytes", "format", "sample_rate", "channels",
+                 "bits_per_sample", "bitrate_kbps", "duration_sec", "decode_ok"]
+            ]
+
+    return df.select(id_col, bin_col).mapInPandas(extract, AUDIO_META_DDL)
 
 
 def frame_sample(

@@ -117,3 +117,111 @@ def test_frame_sample_fanout(spark):
     n_payload = df.where(F.col("html").isNotNull()).count()
     assert len(frames) == 4 * n_payload
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+
+
+# ---- audio: real WAV-RIFF and MP3 frame-header fixtures ----------------
+
+def wav_bytes(sample_rate=44100, channels=2, bits=16, seconds=1.5, junk_chunk=True):
+    """A structurally-valid RIFF/WAVE header with a fmt chunk, an
+    optional unknown chunk (the walker must skip it), and a data chunk
+    sized for `seconds` of audio (payload itself truncated — header
+    parsing never reads it)."""
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    data_size = int(byte_rate * seconds)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk_chunk:
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    chunks += b"data" + struct.pack("<I", data_size) + b"\x00" * 16
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def mp3_bytes(version="v1", bitrate_kbps=128, sample_rate=44100, mono=False,
+              id3=True, payload_len=4000):
+    """An MP3 with an optional ID3v2 tag followed by a real MPEG
+    Layer III frame header encoding the requested parameters."""
+    rate_idx = {44100: 0, 48000: 1, 32000: 2, 22050: 0, 24000: 1, 16000: 2}[sample_rate]
+    if version == "v1":
+        ver_bits, table = 0b11, [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    else:
+        ver_bits, table = 0b10, [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+    br_idx = table.index(bitrate_kbps)
+    b1 = 0xFF
+    b2 = 0xE0 | (ver_bits << 3) | (0b01 << 1) | 1  # Layer III, no CRC
+    b3 = (br_idx << 4) | (rate_idx << 2)
+    b4 = (0b11 if mono else 0b01) << 6
+    frame = bytes([b1, b2, b3, b4]) + b"\x00" * (payload_len - 4)
+    if not id3:
+        return frame
+    tag_body_len = 100
+    sync = bytes([(tag_body_len >> 21) & 0x7F, (tag_body_len >> 14) & 0x7F,
+                  (tag_body_len >> 7) & 0x7F, tag_body_len & 0x7F])
+    return b"ID3\x04\x00\x00" + sync + b"\x00" * tag_body_len + frame
+
+
+def test_decode_real_audio_headers():
+    from pcornet_data_curation_spark.operators.multimodal import decode_audio_meta
+
+    m = decode_audio_meta(wav_bytes(sample_rate=44100, channels=2, bits=16, seconds=1.5))
+    assert (m["format"], m["sample_rate"], m["channels"], m["bits_per_sample"],
+            m["decode_ok"]) == ("wav", 44100, 2, 16, True)
+    assert m["duration_sec"] == pytest.approx(1.5, rel=1e-3)
+    assert m["bitrate_kbps"] == 44100 * 2 * 16 // 8 * 8 // 1000  # 1411
+
+    m = decode_audio_meta(wav_bytes(sample_rate=8000, channels=1, bits=8, seconds=10))
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == (8000, 1, 8)
+    assert m["duration_sec"] == pytest.approx(10.0, rel=1e-3)
+
+    m = decode_audio_meta(mp3_bytes(version="v1", bitrate_kbps=128,
+                                    sample_rate=44100, payload_len=16000))
+    assert (m["format"], m["sample_rate"], m["channels"], m["bitrate_kbps"],
+            m["decode_ok"]) == ("mp3", 44100, 2, 128, True)
+    assert m["duration_sec"] == pytest.approx(16000 * 8 / 128000, rel=1e-3)
+
+    m = decode_audio_meta(mp3_bytes(version="v2", bitrate_kbps=64,
+                                    sample_rate=22050, mono=True, id3=False))
+    assert (m["sample_rate"], m["channels"], m["bitrate_kbps"]) == (22050, 1, 64)
+
+
+def test_decode_non_audio_and_truncated():
+    from pcornet_data_curation_spark.operators.multimodal import decode_audio_meta
+
+    for payload in [
+        b"RIFF\x00\x00\x00\x00AVI ",          # RIFF but not WAVE
+        wav_bytes()[:11],                      # truncated before WAVE tag
+        b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f",    # ID3 tag, no frame after
+        b"\xff\xf9\x00\x00",                   # sync but bad bitrate index (0)
+        b"\xff\xeb\x10\x00",                   # reserved version bits (01)
+        png_bytes(4, 4),                       # an image, not audio
+        b"",
+    ]:
+        m = decode_audio_meta(payload)
+        assert not m["decode_ok"] and m["sample_rate"] is None, payload[:8]
+    with pytest.raises(NotImplementedError):
+        decode_audio_meta(b"garbage", strict=True)
+
+
+def test_audio_metadata_through_spark(spark):
+    from pcornet_data_curation_spark.operators.multimodal import audio_metadata
+
+    rows = [
+        (1, bytearray(wav_bytes(sample_rate=16000, channels=1, bits=16, seconds=2.0))),
+        (2, bytearray(mp3_bytes(version="v1", bitrate_kbps=192, sample_rate=48000))),
+        (3, None),
+        (4, bytearray(b"<html>nope</html>")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    out = audio_metadata(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, ["format", "sample_rate", "channels", "bits_per_sample"]].tolist() == [
+        "wav", 16000, 1, 16]
+    assert out.loc[1, "duration_sec"] == pytest.approx(2.0, rel=1e-3)
+    assert out.loc[2, ["format", "sample_rate", "bitrate_kbps"]].tolist() == [
+        "mp3", 48000, 192]
+    assert not out.loc[3, "decode_ok"] and out.loc[3, "n_bytes"] == 0
+    assert out.loc[4, "format"] == "bin" and not out.loc[4, "decode_ok"]
+    # schema is the declared DDL: nullable ints stay ints, not floats
+    sch = dict(audio_metadata(df).dtypes)
+    assert sch["sample_rate"] == "int" and sch["duration_sec"] == "double"
