@@ -48,6 +48,8 @@ HEADLINE = [
     "verdict_documents",
     "scrub_full",
     "langid_heuristic",
+    "topgram_repetition",
+    "decontaminate",
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))

@@ -1,0 +1,85 @@
+"""Benchmark decontamination — flag training documents that overlap an
+evaluation/benchmark set by shared word k-grams (the GPT-3 appendix-C /
+Llama-style 13-gram collision test, reduced to its flaggable core).
+
+This is a first-class training-data-pipeline operator, not a reference
+port: the reference's analog is the valueset membership join
+(broadcast lookup table → per-record flag, potential_code_errors.sas
+valueset checks), which is exactly the plan shape used here.
+
+Scale design for 10^12 training docs × a benchmark of ~10^5-10^7
+grams: the benchmark gram set is the SMALL side — it broadcasts, so
+the corpus never shuffles; each doc's distinct k-gram hashes stream
+through a BroadcastHashJoin probe and collapse back to one row per
+document via a map-side-combinable count. Above
+`broadcast_max_grams` the join falls back to a hash-partitioned
+equi-join on the 8-byte gram hash (both sides shuffle (gram, id)
+pairs only — never text). Gram hashing is xxhash64 engine-side; the
+SQL oracle joins on the gram STRINGS, which is equality-equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.operators.textanalysis import WS, word_kgram_col
+
+
+def _distinct_gram_hashes(col, k: int):
+    toks = F.split(F.trim(F.regexp_replace(F.lower(col), WS, " ")), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(word_kgram_col(toks, n, k), lambda s: F.xxhash64(s))),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_max_grams: int = 50_000_000,
+) -> DataFrame:
+    """Per training document: how many of its distinct word k-grams
+    appear anywhere in the benchmark set, and a contaminated flag
+    (any overlap). One row per input doc, hit docs AND clean docs —
+    the caller filters or joins the verdict as needed.
+
+    bench is the evaluation-set DataFrame (only `bench_text_col` is
+    read). Case- and whitespace-insensitive, matching the dedup
+    family's normalization.
+    """
+    bench_grams = (
+        bench.where(F.col(bench_text_col).isNotNull())
+        .select(F.explode(_distinct_gram_hashes(F.col(bench_text_col), k)).alias("gram"))
+        .distinct()
+    )
+    # the benchmark side is small by construction; count once to pick
+    # the join strategy (a driver-side scalar over the already-distinct
+    # gram projection — not a fact-table collect)
+    n_bench = bench_grams.count()
+    if n_bench <= broadcast_max_grams:
+        bench_grams = F.broadcast(bench_grams)
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        _distinct_gram_hashes(F.coalesce(F.col(text_col), F.lit("")), k).alias("grams"),
+    )
+    hits = (
+        base.select("_id", F.explode("grams").alias("gram"))
+        .join(bench_grams, "gram")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_grams_n"))
+    )
+    totals = base.select("_id", F.size("grams").alias("grams_n"))
+    out = totals.join(hits, "_id", "left").na.fill({"contaminated_grams_n": 0})
+    return out.select(
+        F.col("_id").alias(id_col),
+        "grams_n",
+        F.col("contaminated_grams_n").cast("long").alias("contaminated_grams_n"),
+        (F.col("contaminated_grams_n") > 0).alias("contaminated"),
+    )

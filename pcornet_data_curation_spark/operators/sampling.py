@@ -1,0 +1,91 @@
+"""Corpus-shaping operators for training-data pipelines: deterministic
+stratified sampling (rebalance over-represented languages/domains) and
+token-budget shard packing (group documents into ~N-token training
+shards).
+
+Reference analog: the reference's per-stratum denominators and
+superpopulation percentages (%n_pct superpop, data_curation_base.sas)
+define the SHARES; these operators act on them. Both are pure Column
+algebra with exact DuckDB oracles.
+
+Determinism contract: sampling uses a content-independent uniform
+u(id) = first 8 bytes of md5(id || ':' || seed) scaled to [0,1) — the
+same engine-portable trick as fingerprint_md5 — so a resumed or
+re-partitioned run keeps EXACTLY the same rows (no rand(), no
+partition-dependent sampling like df.sample at 10^12 scale where input
+splits shift between runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_U_DENOM = float(1 << 32)
+
+
+def uniform_hash_col(id_col, seed: int = 0):
+    """Deterministic uniform in [0,1) from an id: the first 8 hex chars
+    of md5(id:seed) as a 32-bit integer / 2^32. Stable across engines
+    (md5 is md5 everywhere), runs, and partitionings."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_U_DENOM)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, decided by the
+    deterministic uniform above — the 'downsample over-represented
+    strata' step of corpus curation. rates maps stratum value → keep
+    probability; unlisted strata (and NULL) use default_rate.
+
+    Scale: zero shuffles — a literal when-chain over strata (strata
+    sets are small: languages, top-level domains) and one hash per
+    row, all inside codegen. Filtering happens at the scan when the
+    source supports predicate pushdown of the stratum column.
+    """
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.where(uniform_hash_col(F.col(id_col), seed) < rate)
+
+
+def pack_token_shards(
+    df: DataFrame,
+    tokens_col: str,
+    target_tokens: int,
+    part_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a training shard of ~target_tokens,
+    packing greedily in (part_col, order_col) order: shard boundaries
+    fall where the running token total crosses a multiple of the
+    target (shard_id = floor(cumulative_tokens_before_doc / target)).
+    A document straddling a boundary stays in the earlier shard, so
+    shards overshoot by at most one document — the standard
+    sequence-packing approximation.
+
+    Scale: ONE window partitioned by part_col (source/domain/date
+    bucket) — the running sum is per-partition, so no global sort and
+    no single-task bottleneck as long as part_col is reasonably
+    bounded (the salted url-hash bucket of the curation pipeline is
+    the natural choice at 10^12 docs). Shard ids are therefore
+    (part, local_shard) pairs, not globally dense — global density
+    would force a total order over the corpus.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    before = cum - F.col(tokens_col).cast("long")
+    return df.withColumn(
+        "shard_id", F.floor(before / F.lit(float(target_tokens))).cast("long")
+    ).withColumn("shard_tokens_before", before)

@@ -238,6 +238,59 @@ def dup_line_metrics_exploded(
     )
 
 
+def topgram_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+) -> DataFrame:
+    """Gopher-style top-n-gram repetition: per document, the most
+    frequent word k-gram and the fraction of the document's characters
+    covered by its occurrences (count × gram length / normalized text
+    length) — the in-document repetition signal Gopher thresholds at
+    0.20 for 2-grams (Rae et al. 2021, table A1).
+
+    Plan shape: explode k-grams → two map-side-combinable aggregations
+    (groupBy(doc, gram) count, then groupBy(doc) max(struct(cnt,
+    gram))) — both keyed by doc so partitions are bounded by document
+    size; no windows, no self-joins. Ties break to the
+    lexicographically-largest gram so the result is deterministic and
+    the SQL oracle (row_number over cnt desc, gram desc) reproduces it
+    exactly.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS, " "))
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size(toks)
+    grams = F.when(n >= k, word_kgram_col(toks, n, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), grams.alias("grams"), F.length(norm).alias("_chars")
+    )
+    counts = (
+        base.select("_id", F.explode("grams").alias("gram"))
+        .groupBy("_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.groupBy("_id").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
+        F.sum("cnt").alias("grams_n"),
+    )
+    out = base.select("_id", "_chars").join(top, "_id", "left")
+    top_gram = F.col("_top.gram")
+    top_n = F.coalesce(F.col("_top.cnt"), F.lit(0)).cast("long")
+    covered = F.length(top_gram).cast("long") * top_n
+    frac = F.when(
+        (F.col("_chars") > 0) & top_gram.isNotNull(), covered / F.col("_chars")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("grams_n"), F.lit(0)).cast("long").alias("grams_n"),
+        top_gram.alias("top_gram"),
+        top_n.alias("top_gram_n"),
+        frac.alias("top_gram_char_frac"),
+    )
+
+
 def cross_doc_ngram_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:

@@ -1358,6 +1358,148 @@ FROM tot LEFT JOIN spd USING (doc_id)
 """
 
 
+def q_topgram_repetition(spark, sf_dir):
+    """Gopher top-2-gram repetition fraction per document (Rae et al.
+    2021 repetition filters): most frequent word 2-gram and the char
+    fraction it covers. Two map-side-combinable doc-keyed aggs, no
+    windows; deterministic tie-break reproduced by the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.topgram_repetition(docs, k=2)
+
+
+SQL_TOPGRAM_REPETITION = f"""
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, length(norm) AS chars,
+         CASE WHEN length(norm) = 0 THEN []
+              WHEN len(string_split(norm, ' ')) >= 2
+              THEN [array_to_string(string_split(norm, ' ')[i:i+1], ' ')
+                    FOR i IN range(1, len(string_split(norm, ' ')))]
+              ELSE [] END AS grams
+  FROM nrm
+),
+c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST(grams) AS gram FROM g) GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+    FROM c) WHERE rn = 1
+),
+tot AS (SELECT doc_id, SUM(cnt) AS grams_n FROM c GROUP BY 1)
+SELECT g.doc_id,
+       CAST(COALESCE(tot.grams_n, 0) AS BIGINT) AS grams_n,
+       top.gram AS top_gram,
+       CAST(COALESCE(top.cnt, 0) AS BIGINT) AS top_gram_n,
+       CASE WHEN g.chars > 0 AND top.gram IS NOT NULL
+            THEN length(top.gram) * top.cnt * 1.0 / g.chars
+            ELSE 0.0 END AS top_gram_char_frac
+FROM g LEFT JOIN top USING (doc_id) LEFT JOIN tot USING (doc_id)
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Llama 13-gram collision test,
+    k=8 for these short synthetic docs): documents sharing any distinct
+    word 8-gram with the 'benchmark' slice (doc_id % 97 == 0) are
+    flagged. Benchmark gram set broadcasts; the corpus never shuffles.
+    Oracle joins on gram strings (hash-equality-equivalent)."""
+    from pcornet_data_curation_spark.operators.decontam import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, k=8)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')), '{WS_SQL}', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8
+              THEN list_distinct([array_to_string(t[i:i+7], ' ')
+                                  FOR i IN range(1, len(t) - 6)])
+              ELSE [] END AS grams
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 97 = 0
+),
+ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+hits AS (
+  SELECT doc_id, COUNT(*) AS contaminated_grams_n
+  FROM ex JOIN bench USING (gram) GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(len(grams) AS INT) AS grams_n,
+       CAST(COALESCE(hits.contaminated_grams_n, 0) AS BIGINT) AS contaminated_grams_n,
+       COALESCE(hits.contaminated_grams_n, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling by language (corpus
+    rebalancing): keep-decision is md5(doc_id:seed)-uniform vs the
+    stratum's rate, so the sample is identical across runs, engines,
+    and partitionings — no rand(), no partition-dependent df.sample."""
+    from pcornet_data_curation_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 1.0, "fr": 0.5}, default_rate=0.75, seed=7
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':7')), 1, 8)) AS BIGINT)
+      / 4294967296.0
+      < CASE WHEN lang = 'en' THEN 0.25
+             WHEN lang = 'de' THEN 1.0
+             WHEN lang = 'fr' THEN 0.5
+             ELSE 0.75 END
+"""
+
+
+def q_pack_token_shards(spark, sf_dir):
+    """Token-budget shard packing: assign documents to ~5000-char
+    training shards per source, greedily in doc_id order (running-sum
+    window per source — no global sort; shard ids are (source, local)
+    pairs by design at scale)."""
+    from pcornet_data_curation_spark.operators.sampling import pack_token_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_token_shards(
+        docs, tokens_col="n_chars", target_tokens=5000, part_col="source"
+    ).select("doc_id", "source", "n_chars", "shard_id", "shard_tokens_before")
+
+
+SQL_PACK_TOKEN_SHARDS = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS before
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(FLOOR(before / 5000.0) AS BIGINT) AS shard_id,
+       CAST(before AS BIGINT) AS shard_tokens_before
+FROM w
+"""
+
+
 def q_near_dedup_survivors_exact(spark, sf_dir):
     """End-to-end near-dedup with EXACT jaccard pairs feeding the
     distributed connected components — fully SQL-expressible, so the
@@ -2016,6 +2158,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),
     "dup_line_metrics_exploded": (q_dup_line_metrics_exploded, SQL_DUP_LINE_METRICS),
     "cross_doc_ngrams": (q_cross_doc_ngrams, SQL_CROSS_DOC_NGRAMS),
+    "topgram_repetition": (q_topgram_repetition, SQL_TOPGRAM_REPETITION),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "minhash_lsh_pairs": (q_minhash_pairs, _sql_minhash_pairs),
     "near_dedup_survivors": (q_near_dedup_survivors, _sql_near_dedup_survivors),
     "near_dedup_survivors_exact": (q_near_dedup_survivors_exact, SQL_NEAR_DEDUP_SURVIVORS_EXACT),
@@ -2068,7 +2214,8 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "near_dedup_survivors_exact", "simhash_pairs",
         "fingerprint", "fingerprint_md5", "token_stats", "bpe_token_count", "quality_score",
         "langid_heuristic", "dup_line_metrics", "dup_line_metrics_exploded",
-        "cross_doc_ngrams",
+        "cross_doc_ngrams", "topgram_repetition", "decontaminate",
+        "stratified_sample", "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",

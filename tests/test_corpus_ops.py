@@ -1,0 +1,119 @@
+"""Corpus-shaping operators: decontamination, stratified sampling,
+token-shard packing, and the Gopher top-n-gram repetition signal.
+Value-level parity with the DuckDB oracles is driver-checked
+(tools/check_oracle.py); these tests pin SEMANTICS and PLAN SHAPE."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pcornet_data_curation_spark.operators.decontam import contamination_flags
+from pcornet_data_curation_spark.operators.sampling import (
+    pack_token_shards,
+    stratified_sample,
+    uniform_hash_col,
+)
+from pcornet_data_curation_spark.operators.textanalysis import topgram_repetition
+
+
+def test_topgram_repetition_semantics(spark):
+    rows = [
+        (1, "a b a b a b"),          # top 2-gram "a b" x3 of 5 grams
+        (2, "one two three four"),   # all 2-grams unique
+        (3, "x"),                    # < k tokens -> no grams
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = topgram_repetition(df, k=2).toPandas().set_index("doc_id").sort_index()
+    r1 = out.loc[1]
+    assert r1["top_gram"] == "a b" and r1["top_gram_n"] == 3 and r1["grams_n"] == 5
+    # covered = len("a b")*3 = 9 of 11 normalized chars
+    assert r1["top_gram_char_frac"] == pytest.approx(9 / 11)
+    assert out.loc[2, "top_gram_n"] == 1 and out.loc[2, "grams_n"] == 3
+    for d in (3, 4, 5):
+        assert out.loc[d, "grams_n"] == 0 and out.loc[d, "top_gram_char_frac"] == 0.0
+        assert pd.isna(out.loc[d, "top_gram"])
+    # tie-break: equal counts resolve to the lexicographically-largest gram
+    tie = spark.createDataFrame([(9, "b c a d b c a d")], "doc_id long, text string")
+    t = topgram_repetition(tie, k=2).toPandas().iloc[0]
+    # grams: "b c","c a","a d" each x2, "d b" x1 -> largest of the tied
+    assert t["top_gram_n"] == 2 and t["top_gram"] == "c a"
+
+
+def test_contamination_flags_semantics_and_broadcast(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta different tail"),
+            (3, "totally unrelated words in this training document here now"),
+            (4, "short"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "ALPHA beta gamma delta epsilon zeta eta theta")],  # case-blind
+        "doc_id long, text string",
+    )
+    out = contamination_flags(docs, bench, k=8).toPandas().set_index("doc_id").sort_index()
+    assert bool(out.loc[1, "contaminated"]) and bool(out.loc[2, "contaminated"])
+    assert not out.loc[3, "contaminated"] and not out.loc[4, "contaminated"]
+    assert out.loc[4, "grams_n"] == 0 and out.loc[5, "grams_n"] == 0
+    # small benchmark -> the corpus-side join must be a broadcast probe
+    plan = contamination_flags(docs, bench, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # forcing the fallback keeps results identical (shuffled equi-join)
+    big = (
+        contamination_flags(docs, bench, k=8, broadcast_max_grams=0)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(out, big)
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+        .otherwise(F.lit(None)).alias("lang"),
+    )
+    rates = {"en": 0.2, "de": 0.9}
+    a = stratified_sample(df, "lang", rates, default_rate=0.5, seed=3).toPandas()
+    b = (
+        stratified_sample(df.repartition(13), "lang", rates, default_rate=0.5, seed=3)
+        .toPandas()
+    )
+    # identical rows regardless of partitioning (the df.sample failure mode)
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    got = a.groupby(a["lang"].fillna("_null"))["doc_id"].count() / (n / 3)
+    assert got["en"] == pytest.approx(0.2, abs=0.04)
+    assert got["de"] == pytest.approx(0.9, abs=0.04)
+    assert got["_null"] == pytest.approx(0.5, abs=0.05)  # default rate
+    # different seed -> different (but similarly sized) sample
+    c = stratified_sample(df, "lang", rates, default_rate=0.5, seed=4).toPandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+    # uniform really is [0,1): bounds hold on a direct column probe
+    u = df.select(uniform_hash_col(F.col("doc_id"), 3).alias("u")).toPandas()["u"]
+    assert (u >= 0).all() and (u < 1).all()
+
+
+def test_pack_token_shards_greedy_bounds(spark):
+    rows = [(i, "s1", 400) for i in range(10)] + [(i + 100, "s2", 1500) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = (
+        pack_token_shards(df, "n_tokens", target_tokens=1000, part_col="source")
+        .toPandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    s1 = out[out.source == "s1"]
+    # 400-token docs against a 1000 target: shards of 3,2,3,2 docs
+    # (boundary doc stays in the earlier shard)
+    assert s1["shard_id"].tolist() == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    s2 = out[out.source == "s2"]
+    # each 1500-token doc crosses a boundary alone
+    assert s2["shard_id"].tolist() == [0, 1, 3, 4]
+    # shard token totals never exceed target + one document
+    tot = out.groupby(["source", "shard_id"])["n_tokens"].sum()
+    assert (tot <= 1000 + out["n_tokens"].max()).all()
+    # running-sum bookkeeping is exact
+    assert s1["shard_tokens_before"].tolist() == [400 * i for i in range(10)]
