@@ -194,37 +194,59 @@ def langid_scores(text: str) -> tuple[str, float]:
 _SENTINEL = 27  # out-of-alphabet id splitting docs in the packed array
 
 
+_PACK_LUT = np.full(256, 26, dtype=np.int64)  # 26 = space bucket
+for _i, _ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+    _PACK_LUT[ord(_ch)] = _i
+_PACK_LUT[0xFF] = _SENTINEL  # doc separator: 0xFF never occurs in UTF-8
+
+
 def langid_scores_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
-    """Batch langid, sparse: pack every doc's trigram ids into one
-    array, run-length the (doc, tri) pairs with np.unique, then compute
-    each doc's per-language numerator with ONE bincount per language
-    (8 total) and its norm with one more — no dense 27³-wide rows.
-    Same trigram counts as langid_scores; cosine/softmax vectorized."""
+    """Batch langid, sparse: normalize the WHOLE batch as one byte
+    array — per doc " "+lower+" " segments joined by 0xFF (a byte no
+    valid UTF-8 string contains), every non-[a-z] byte mapped to the
+    space bucket, space runs collapsed with one boolean mask — then
+    run-length the (doc, tri) pairs and compute each doc's
+    per-language numerator with ONE bincount per language (8 total)
+    and its norm with one more; no dense 27³-wide rows, no per-doc
+    regex. Exactly the trigram sequence of the former per-doc
+    `_NONLETTER_RE` + `WS_RE` normalization (multi-byte chars become
+    space RUNS that the collapse reduces to the single space the
+    regexes produced; too-short docs simply yield no valid window),
+    so scores/confidences are bit-identical — pinned by
+    test_textcore.test_langid_batch_matches_single."""
     n = len(texts)
     langs_out: list[str] = ["und"] * n
     conf_out = np.zeros(n, dtype=np.float64)
-    pieces: list[np.ndarray] = []
-    doc_of: list[np.ndarray] = []
-    for d, text in enumerate(texts):
-        if not text:
-            continue
-        s = " " + _NONLETTER_RE.sub(" ", text.lower()) + " "
-        s = WS_RE.sub(" ", s)
-        if len(s) < 3:
-            continue
-        ids = _TRI_LUT[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
-        pieces.append(np.append(ids, _SENTINEL))  # sentinel splits docs
-        doc_of.append(np.full(len(ids) + 1, d, dtype=np.int64))
-    if not pieces:
+    if n == 0:
         return langs_out, conf_out
-    packed = np.concatenate(pieces)
-    docs = np.concatenate(doc_of)
+    payload = b"\xff".join(
+        b" " + (t.lower().encode("utf-8") if t else b"") + b" " for t in texts
+    )
+    sym = _PACK_LUT[np.frombuffer(payload, dtype=np.uint8)]
+    # collapse runs of spaces (id 26): keep a space only when the
+    # previous kept symbol differs — for space runs that means only
+    # the first survives, which is what WS_RE.sub(" ") produced
+    is_sp = sym == 26
+    keep = np.empty(len(sym), dtype=bool)
+    keep[0] = True
+    keep[1:] = ~(is_sp[1:] & is_sp[:-1])
+    packed = sym[keep]
+    # cumsum of separators = doc index at every non-separator position
+    docs = np.cumsum(packed == _SENTINEL)
     a, b, c = packed[:-2], packed[1:-1], packed[2:]
     valid = (a != _SENTINEL) & (b != _SENTINEL) & (c != _SENTINEL)
+    if not valid.any():
+        return langs_out, conf_out
     tri = (a[valid] * 27 + b[valid]) * 27 + c[valid]
     dbin = docs[:-2][valid]
-    # run-length encode (doc, tri) occurrences → per-doc sparse counts
-    keys, cnt = np.unique(dbin * _TRI_DIM + tri, return_counts=True)
+    # run-length encode (doc, tri) occurrences → per-doc sparse counts.
+    # Hash-count + sort over the UNIQUE keys: same (sorted keys, counts)
+    # pair np.unique returns, without sorting all occurrences.
+    vc = pd.Series(dbin * _TRI_DIM + tri).value_counts(sort=False)
+    ukeys = vc.index.to_numpy()
+    order = np.argsort(ukeys, kind="stable")
+    keys = ukeys[order]
+    cnt = vc.to_numpy()[order]
     kdoc = keys // _TRI_DIM
     ktri = keys % _TRI_DIM
     cnt = cnt.astype(np.float64) * _LANGID_KNOWN[ktri]  # mask unknown tris

@@ -104,3 +104,39 @@ def test_perplexity_byte_vs_char_indexing():
     ]
     for t in cases:
         assert tc.perplexity(t) == ppl_char(t), t[:40]
+
+
+def test_langid_batch_matches_single():
+    """The packed-byte batch path must agree with the per-doc scorer:
+    identical language picks, confidences equal to float-accumulation
+    noise (the two paths sum dot products in different orders), on a
+    unicode-adversarial corpus including the normalization edge cases
+    the byte-level collapse must reproduce (multi-byte chars -> single
+    space, mixed whitespace runs, K Kelvin lowering to ascii 'k',
+    too-short docs, empty docs)."""
+    import numpy as np
+
+    texts = [
+        "the committee published the annual report and the members discussed it",
+        "der schnelle braune fuchs springt ueber den faulen hund und dann",
+        "",
+        " ",
+        "a",
+        "ab",
+        "é" * 7,
+        "Kelvin the and of the weather",   # KELVIN SIGN lowers to ascii k
+        "\x00\t\n weird \x0b mixed\fwhitespace",
+        "日本語テキスト",
+        "café au lait et le croissant les amis",
+        "a\t\tb  c\nd",
+        "the the the",
+        "ſtraße und der hund",          # long s + sharp s
+    ]
+    langs_b, confs_b = tc.langid_scores_batch(texts)
+    for i, t in enumerate(texts):
+        lang_s, conf_s = tc.langid_scores(t)
+        assert langs_b[i] == lang_s, (i, t)
+        assert confs_b[i] == pytest.approx(conf_s, rel=1e-9, abs=1e-12), (i, t)
+    # deterministic across calls
+    langs2, confs2 = tc.langid_scores_batch(texts)
+    assert langs2 == langs_b and np.array_equal(confs2, confs_b)
