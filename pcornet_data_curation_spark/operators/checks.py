@@ -100,6 +100,11 @@ DEFAULT_CHECKS: tuple[Check, ...] = (
     Check("12.02", "report older than 7 days", "report_staleness", "age_sec", "gt", 604800.0, "blue", family="staleness"),
     # -- 13.x threshold-crossing trend (threshold_trend) ---------------------
     Check("13.01", "metric within 20% of a threshold and moving toward it", "threshold_trend", "approaching", "gt", 0.0, "blue", family="trend"),
+    # -- 14.x domain concentration (domain_summary) --------------------------
+    Check("14.01", "single domain holds >30% of records", "domain_summary", "top1_share_pct", "gt", 30.0, "blue", family="domains"),
+    Check("14.02", "single domain holds >60% of records", "domain_summary", "top1_share_pct", "gt", 60.0, "red", family="domains"),
+    Check("14.03", "corpus from a single host", "domain_summary", "hosts_n", "lt", 2.0, "red", family="domains"),
+    Check("14.04", "unparsable urls present", "domain_summary", "null_host_n", "gt", 0.0, "blue", family="domains"),
 )
 
 

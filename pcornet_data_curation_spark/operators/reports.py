@@ -465,6 +465,96 @@ def crosstab(
     ).orderBy(*levels)
 
 
+HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def domain_dist(
+    df: "DataFrame",
+    url_col: str = "url",
+    top_n: int = 20,
+) -> "DataFrame":
+    """Per-host volume report with a top-N + OTHER rollup — the
+    long-tail-domain distribution the north-star's skew handling is
+    about, shaped like the reference's %n_pct category report
+    (data_curation_base.sas %n_pct) but over an open-ended domain
+    (hosts), so the category set is data-driven with the tail rolled
+    into one OTHER row.
+
+    Scale shape for 10^8+ hosts: groupBy(host) — partial aggregation
+    absorbs the hot hosts map-side, so a 10^9-row domain never skews a
+    task; the top-N is TakeOrderedAndProject over the aggregated frame
+    (never a global sort of rows); the OTHER rollup is one left_anti
+    join against the broadcast 20-row top list plus a single agg.
+    Unparsable urls land in the NULL host row (reference NULL-category
+    convention)."""
+    host_raw = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    host = F.when(host_raw == "", F.lit(None)).otherwise(F.lower(host_raw))
+    counts = (
+        df.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("record_n"),
+            F.sum(F.col("keep").cast("long")).alias("kept_n"),
+        )
+    )
+    top = counts.orderBy(F.col("record_n").desc(), F.asc_nulls_last("host")).limit(top_n)
+    top_hosts = top.select(F.col("host").alias("_th"))
+    other = (
+        # null-safe anti join: the NULL-host row must be able to HOLD a
+        # top slot (a plain anti join would silently sweep it into OTHER)
+        counts.join(
+            F.broadcast(top_hosts),
+            F.col("host").eqNullSafe(F.col("_th")),
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_hosts"),
+            F.coalesce(F.sum("record_n"), F.lit(0)).alias("record_n"),
+            F.coalesce(F.sum("kept_n"), F.lit(0)).alias("kept_n"),
+        )
+        .where(F.col("_hosts") > 0)
+        .select(F.lit("OTHER").alias("host"), "record_n", "kept_n")
+    )
+    ranked = top.unionByName(other)
+    total = F.sum("record_n").over(Window.partitionBy())  # tiny frame (≤ top_n+1 rows)
+    return (
+        ranked.withColumn("record_pct", _pct_expr(F.col("record_n"), total))
+        .orderBy(F.col("record_n").desc(), F.asc_nulls_last("host"))
+    )
+
+
+def domain_summary(df: "DataFrame", url_col: str = "url", top_n: int = 20) -> "DataFrame":
+    """Scalar domain-concentration stats for the check registry (the
+    dynamic hostnames in domain_dist can't anchor threshold checks):
+    hosts_n, top1/topN share of records, null-host count. Same
+    aggregation core as domain_dist; one extra tiny sort."""
+    host_raw = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    host = F.when(host_raw == "", F.lit(None)).otherwise(F.lower(host_raw))
+    counts = df.groupBy(host.alias("host")).agg(F.count(F.lit(1)).alias("record_n"))
+    top = counts.orderBy(F.col("record_n").desc(), F.asc_nulls_last("host")).limit(top_n)
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("hosts_n"),
+        F.sum("record_n").alias("records"),
+        F.coalesce(
+            F.sum(F.when(F.col("host").isNull(), F.col("record_n"))), F.lit(0)
+        ).alias("null_host_n"),
+    )
+    topagg = top.agg(
+        F.coalesce(F.max("record_n"), F.lit(0)).alias("_top1"),
+        F.coalesce(F.sum("record_n"), F.lit(0)).alias("_topn"),
+    )
+    out = agg.crossJoin(topagg)
+    pct = lambda num: F.when(  # noqa: E731
+        F.col("records") > 0, F.floor(num * 1000000.0 / F.col("records")) / 10000.0
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "hosts_n",
+        "records",
+        "null_host_n",
+        pct(F.col("_top1")).alias("top1_share_pct"),
+        pct(F.col("_topn")).alias(f"top{top_n}_share_pct"),
+    )
+
+
 def referential_summary(
     cur: "DataFrame",
     lang_valueset: list[str],

@@ -91,6 +91,8 @@ EXPECTED_REPORTS = [
     "extraction_summary",
     "dash_activity",
     "referential_summary",
+    "domain_dist",
+    "domain_summary",
 ]
 
 
@@ -323,6 +325,17 @@ def run_pipeline(
 
         reports["referential_summary"] = referential_summary(cur, LANG_VALUESET)
 
+    with tracker.stage("report_domain_dist"):
+        # long-tail host distribution: top-20 + OTHER rollup, plus the
+        # scalar concentration stats the 14.x checks anchor on
+        from pcornet_data_curation_spark.operators.reports import (
+            domain_dist,
+            domain_summary,
+        )
+
+        reports["domain_dist"] = domain_dist(cur)
+        reports["domain_summary"] = domain_summary(cur)
+
     with tracker.stage("report_scrub_summary"):
         hits = F.sum(F.col("scrub_hit").cast("long"))
         total = F.count(F.lit(1))
@@ -381,6 +394,8 @@ def run_pipeline(
             melt_report(rread["extraction_summary"], "extraction_summary", []),
             melt_report(rread["dash_activity"], "dash_activity", ["window"]),
             melt_report(rread["referential_summary"], "referential_summary", []),
+            melt_report(rread["domain_dist"], "domain_dist", ["host"]),
+            melt_report(rread["domain_summary"], "domain_summary", []),
         ]
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)

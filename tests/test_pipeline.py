@@ -200,7 +200,7 @@ def test_checks_trip_per_family(spark):
     assert families == {
         "viability", "conformance", "uniqueness", "scrub", "extraction",
         "distribution", "temporal", "continuous", "rules",
-        "referential", "drift", "staleness", "trend",
+        "referential", "drift", "staleness", "trend", "domains",
     }
     # Data Checks v20 breadth (VERDICT r2 item 4: 26 → ~46)
     assert len(DEFAULT_CHECKS) >= 46
@@ -220,6 +220,7 @@ def test_checks_trip_per_family(spark):
         ("drift|verdict_summary", "", "", "keep_pct__absdelta", "20.0", 20.0),  # 11.01+11.02 drift
         ("report_staleness", "", "lang_dist", "stale", "1.0", 1.0),    # 12.01 staleness
         ("threshold_trend", "", "8.03|NULL", "approaching", "1.0", 1.0),  # 13.01 trend
+        ("domain_summary", "", "", "top1_share_pct", "75.0", 75.0),     # 14.01+14.02 domains
         # healthy rows that must NOT trip
         ("tokens_by_keep", "", "true", "mean", "250.0", 250.0),
         ("warc_minmax", "", "warc_ts", "future_n", "0", 0.0),
@@ -237,7 +238,7 @@ def test_checks_trip_per_family(spark):
     assert tripped == {
         "1.01", "2.01", "3.01", "4.01", "4.02", "5.01", "5.02",
         "6.01", "7.01", "8.03", "9.01",
-        "10.01", "11.01", "11.02", "12.01", "13.01",
+        "10.01", "11.01", "11.02", "12.01", "13.01", "14.01", "14.02",
     }
     trip_fams = set(out.loc[out["exception"], "family"])
     assert trip_fams == families  # every family demonstrably fires

@@ -222,3 +222,40 @@ def test_dash_windows_month_clamping():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dash_windows(dt.date(2024, 1, 1), [("w", {"weeks": 1})])
+
+
+def test_domain_dist_topn_other_rollup(spark):
+    """Top-N + OTHER rollup over a skewed host distribution; unparsable
+    urls land in the NULL host row; percentages cover the full corpus."""
+    from pcornet_data_curation_spark.operators.reports import domain_dist
+
+    rows = (
+        [(f"https://hot.example.com/{i}", True) for i in range(50)]
+        + [(f"https://warm.example.com/{i}", False) for i in range(30)]
+        + [(f"https://site-{i}.example.com/x", True) for i in range(15)]
+        + [("not a url", True)] * 5
+    )
+    df = spark.createDataFrame(rows, "url string, keep boolean")
+    out = domain_dist(df, top_n=3).toPandas()
+    assert out.iloc[0]["host"] == "hot.example.com" and out.iloc[0]["record_n"] == 50
+    assert out.iloc[1]["host"] == "warm.example.com" and out.iloc[1]["kept_n"] == 0
+    # the NULL host (5 unparsable urls) took the 3rd top slot; the 15
+    # tail singletons rolled into OTHER, which presents above it by count
+    import pandas as pd
+    assert out.iloc[2]["host"] == "OTHER" and out.iloc[2]["record_n"] == 15
+    assert pd.isna(out.iloc[3]["host"]) and out.iloc[3]["record_n"] == 5
+    assert out["record_n"].sum() == 100
+    assert abs(out["record_pct"].sum() - 100.0) < 0.01
+
+
+def test_domain_summary_concentration(spark):
+    from pcornet_data_curation_spark.operators.reports import domain_summary
+
+    rows = [("https://big.example.com/%d" % i, True) for i in range(70)] + [
+        ("https://site-%d.example.com/x" % i, True) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, keep boolean")
+    s = domain_summary(df, top_n=5).toPandas().iloc[0]
+    assert s["hosts_n"] == 31 and s["records"] == 100 and s["null_host_n"] == 0
+    assert s["top1_share_pct"] == 70.0
+    assert s["top5_share_pct"] == 74.0  # 70 + 4 tail singletons
