@@ -44,6 +44,14 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         help="prior run's output root: enables distribution-shift and "
         "threshold-trend checks against its metrics table",
     )
+    p.add_argument(
+        "--dedup",
+        choices=["off", "flag", "drop"],
+        default="off",
+        help="global exact-dedup stage: flag records content duplicates, "
+        "drop also removes them from keep (survivor = min url per "
+        "fingerprint); off preserves per-url verdict parity",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -126,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         output_root=args.output,
         prior_run_root=args.prior,
         export_csv=args.csv,
+        dedup=args.dedup,
     )
     result = run_pipeline(spark, open_table(spark, args.input), cfg)
     print(json.dumps({"outputs": {k: v for k, v in result.items() if k != "stats"},

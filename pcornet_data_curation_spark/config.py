@@ -55,6 +55,16 @@ class PipelineConfig:
     # data_curation_print.sas:121-150).
     export_csv: bool = False
 
+    # Global exact-dedup stage (C4/Gopher): 'off' (default — per-url
+    # verdict parity with the reference labels), 'flag' (record
+    # exact_dup without dropping), 'drop' (also fold into keep).
+    # Survivor = min url per content fingerprint, deterministic.
+    dedup: str = "off"
+
+    def __post_init__(self) -> None:
+        if self.dedup not in ("off", "flag", "drop"):
+            raise ValueError(f"dedup must be off|flag|drop, got {self.dedup!r}")
+
     @property
     def lookback_cutoff(self) -> dt.date:
         try:

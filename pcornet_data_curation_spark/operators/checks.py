@@ -105,6 +105,13 @@ DEFAULT_CHECKS: tuple[Check, ...] = (
     Check("14.02", "single domain holds >60% of records", "domain_summary", "top1_share_pct", "gt", 60.0, "red", family="domains"),
     Check("14.03", "corpus from a single host", "domain_summary", "hosts_n", "lt", 2.0, "red", family="domains"),
     Check("14.04", "unparsable urls present", "domain_summary", "null_host_n", "gt", 0.0, "blue", family="domains"),
+    # -- 15.x content duplication (dedup_summary; categories are the
+    # dedup stage mode, so 'off' runs — dup_n 0 by construction — stay
+    # quiet and measured runs threshold on the real rate) -------------------
+    Check("15.01", "exact-duplicate rate high", "dedup_summary", "dup_pct", "gt", 30.0, "blue", category="flag", family="duplication"),
+    Check("15.02", "exact-duplicate rate high", "dedup_summary", "dup_pct", "gt", 30.0, "blue", category="drop", family="duplication"),
+    Check("15.03", "corpus is mostly duplicates", "dedup_summary", "dup_pct", "gt", 60.0, "red", category="flag", family="duplication"),
+    Check("15.04", "corpus is mostly duplicates", "dedup_summary", "dup_pct", "gt", 60.0, "red", category="drop", family="duplication"),
 )
 
 

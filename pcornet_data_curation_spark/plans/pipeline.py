@@ -93,6 +93,7 @@ EXPECTED_REPORTS = [
     "referential_summary",
     "domain_dist",
     "domain_summary",
+    "dedup_summary",
 ]
 
 
@@ -130,6 +131,33 @@ def lookback_filter(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def with_exact_dup_flag(df: DataFrame) -> DataFrame:
+    """Append exact_dup: content-duplicate marker (C4/Gopher exact
+    dedup, and the content analog of the reference's non-unique key
+    detection). Fingerprint = xxhash64 of the whitespace/case
+    normalized text; the survivor of each fingerprint group is the
+    MINIMUM url (deterministic — independent of partitioning, resume
+    order, and cluster size), every other copy is flagged.
+
+    Scale shape: groupBy(fp).agg(min(url)) — partial aggregation
+    absorbs a hot fingerprint (10^6 copies of a boilerplate page
+    reduce map-side to one row per input partition) — then one
+    fp-keyed equi-join back. The probe side of that join carries the
+    full rows through one extra content-keyed shuffle; that is the
+    irreducible cost of GLOBAL exact dedup (any scheme must co-locate
+    identical content once), and a skewed fp on the probe side is
+    split by AQE skew-join handling."""
+    ws = "[ \\t\\n\\r\\f\\x0B]+"
+    fp = F.xxhash64(F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), ws, " "))))
+    keyed = df.withColumn("_fp", fp)
+    survivors = keyed.groupBy("_fp").agg(F.min("url").alias("_surv_url"))
+    return (
+        keyed.join(survivors, "_fp")
+        .withColumn("exact_dup", F.col("url") != F.col("_surv_url"))
+        .drop("_fp", "_surv_url")
+    )
+
+
 def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The full row-level transform chain (stages 0-5), lazily planned."""
     df = lookback_filter(pages, cfg)
@@ -143,10 +171,24 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     df = df.select(
         "url", "warc_ts", "text", "lang", extraction_ok.alias("extraction_ok")
     )
+    if cfg.dedup != "off":
+        # global exact dedup BEFORE the (bucket, salt) repartition: the
+        # fp-shuffle output feeds straight into the range partitioner,
+        # and the survivor choice (min url) is a pure function of the
+        # full input, so a partial-bucket resume recomputes identical
+        # flags. 'flag' records exact_dup only; 'drop' also folds it
+        # into keep. Default 'off': the F1-parity contract is per-url
+        # verdicts, and dedup is a corpus-level decision the caller
+        # opts into (C4 drops, Gopher reports).
+        df = with_exact_dup_flag(df)
+    else:
+        df = df.withColumn("exact_dup", F.lit(False))
     df = salted_repartition(df, cfg)
     df = with_doc_stats(df)
     df = with_verdict(df, cfg.rule_overrides)
     flag_cols = [R.flag_name(r) for r in R.active_rules(cfg.rule_overrides)]
+    if cfg.dedup == "drop":
+        df = df.withColumn("keep", F.col("keep") & ~F.col("exact_dup"))
     # scrub_hit recorded here because the raw text column is dropped
     # from the curated table (reports never need it again);
     # extraction_ok was derived at the scan (html never left stage 0)
@@ -161,6 +203,7 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "keep",
         scrub_hit.alias("scrub_hit"),
         "extraction_ok",
+        "exact_dup",
         "scrubbed_text",
     )
 
@@ -336,6 +379,20 @@ def run_pipeline(
         reports["domain_dist"] = domain_dist(cur)
         reports["domain_summary"] = domain_summary(cur)
 
+    with tracker.stage("report_dedup_summary"):
+        # content-duplicate profile (dedup stage mode recorded so the
+        # reader knows whether dup_n was measured or the stage was off)
+        dup_n = F.sum(F.col("exact_dup").cast("long"))
+        total_n = F.count(F.lit(1))
+        reports["dedup_summary"] = cur.agg(
+            F.lit(cfg.dedup).alias("mode"),
+            total_n.alias("records"),
+            dup_n.alias("dup_n"),
+            F.when(total_n > 0, F.floor(dup_n * 1000000.0 / total_n) / 10000.0)
+            .otherwise(0.0)
+            .alias("dup_pct"),
+        )
+
     with tracker.stage("report_scrub_summary"):
         hits = F.sum(F.col("scrub_hit").cast("long"))
         total = F.count(F.lit(1))
@@ -396,6 +453,7 @@ def run_pipeline(
             melt_report(rread["referential_summary"], "referential_summary", []),
             melt_report(rread["domain_dist"], "domain_dist", ["host"]),
             melt_report(rread["domain_summary"], "domain_summary", []),
+            melt_report(rread["dedup_summary"], "dedup_summary", ["mode"]),
         ]
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)
