@@ -48,9 +48,22 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "--dedup",
         choices=["off", "flag", "drop"],
         default="off",
-        help="global exact-dedup stage: flag records content duplicates, "
+        help="global dedup stage: flag records content duplicates, "
         "drop also removes them from keep (survivor = min url per "
-        "fingerprint); off preserves per-url verdict parity",
+        "group); off preserves per-url verdict parity",
+    )
+    p.add_argument(
+        "--dedup-method",
+        choices=["exact", "near"],
+        default="exact",
+        help="duplicate grouping: exact content fingerprint, or "
+        "MinHash-LSH near-duplicate components",
+    )
+    p.add_argument(
+        "--near-threshold",
+        type=float,
+        default=0.8,
+        help="estimated-jaccard threshold for --dedup-method near",
     )
 
 
@@ -135,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
         prior_run_root=args.prior,
         export_csv=args.csv,
         dedup=args.dedup,
+        dedup_method=args.dedup_method,
+        near_threshold=args.near_threshold,
     )
     result = run_pipeline(spark, open_table(spark, args.input), cfg)
     print(json.dumps({"outputs": {k: v for k, v in result.items() if k != "stats"},

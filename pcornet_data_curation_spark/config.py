@@ -55,15 +55,25 @@ class PipelineConfig:
     # data_curation_print.sas:121-150).
     export_csv: bool = False
 
-    # Global exact-dedup stage (C4/Gopher): 'off' (default — per-url
-    # verdict parity with the reference labels), 'flag' (record
-    # exact_dup without dropping), 'drop' (also fold into keep).
-    # Survivor = min url per content fingerprint, deterministic.
+    # Global dedup stage (C4/Gopher): 'off' (default — per-url verdict
+    # parity with the reference labels), 'flag' (record exact_dup
+    # without dropping), 'drop' (also fold into keep). Survivor = min
+    # url per group, deterministic.
     dedup: str = "off"
+
+    # How duplicate groups are formed when dedup != off: 'exact'
+    # (content fingerprint equality) or 'near' (MinHash-LSH pairs →
+    # connected components at `near_threshold` estimated jaccard).
+    dedup_method: str = "exact"
+    near_threshold: float = 0.8
 
     def __post_init__(self) -> None:
         if self.dedup not in ("off", "flag", "drop"):
             raise ValueError(f"dedup must be off|flag|drop, got {self.dedup!r}")
+        if self.dedup_method not in ("exact", "near"):
+            raise ValueError(
+                f"dedup_method must be exact|near, got {self.dedup_method!r}"
+            )
 
     @property
     def lookback_cutoff(self) -> dt.date:

@@ -305,11 +305,18 @@ def connected_components(
             sym.join(labels, sym.dst == labels.node)
             .select(sym.src.alias("node"), "component")
         )
+        # localCheckpoint, not cache: it materializes AND truncates the
+        # logical plan, so lineage stays O(1) per round instead of
+        # nesting every previous round (a deep iterative plan blows up
+        # planning/toString and re-derives the whole loop in any
+        # downstream consumer's DAG). Block cleanup is deferred to the
+        # ContextCleaner when the superseded frame is GC'd — the label
+        # table is (node, component) rows only.
         new_labels = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -317,7 +324,6 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

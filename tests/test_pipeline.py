@@ -368,3 +368,45 @@ def test_dedup_stage_modes(spark, tmp_path):
 
     with pytest.raises(ValueError):
         PipelineConfig(dedup="bogus")
+
+
+def test_dedup_near_mode(spark, tmp_path):
+    """--dedup-method near: MinHash-LSH components drive the flag; the
+    pipeline wiring must agree with the standalone near_dedup_survivors
+    operator (same input, same params) and actually catch slightly
+    perturbed copies that exact fingerprinting misses."""
+    from pcornet_data_curation_spark.operators.dedup import near_dedup_survivors
+
+    base = pages_df(spark, 200, partitions=2).where(
+        "text IS NOT NULL AND length(text) > 200"
+    )
+    # near-dup mirrors: append one token — identical shingle sets except
+    # the tail, estimated jaccard ~1 > 0.8; exact fingerprints differ
+    mirrors = base.limit(25).select(
+        F.concat(F.lit("https://zzz-copy.example.com/"),
+                 F.xxhash64("url").cast("string")).alias("url"),
+        "warc_ts", "html",
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+        "lang",
+    )
+    both = base.unionByName(mirrors)
+
+    out = str(tmp_path / "near")
+    res = run_pipeline(spark, both, PipelineConfig(
+        output_root=out, n_buckets=4, dedup="drop", dedup_method="near"))
+    cur = spark.read.parquet(res["curated"])
+    flagged = set(cur.where("exact_dup").toPandas()["url"])
+    assert len(flagged) >= 25  # at least one member of each mirror pair
+    assert cur.where("exact_dup AND keep").count() == 0
+
+    # wiring parity with the standalone operator (post-lookback input)
+    filt = both.where("warc_ts IS NULL OR warc_ts >= timestamp'2016-01-01'")
+    surv = near_dedup_survivors(
+        filt.select("url", "text"), text_col="text", id_col="url", threshold=0.8
+    )
+    expected_flagged = (
+        set(filt.select("url").toPandas()["url"]) - set(surv.toPandas()["url"])
+    )
+    assert flagged == expected_flagged
+    ded = spark.read.parquet(os.path.join(res["reports"], "dedup_summary")).toPandas()
+    assert ded.iloc[0]["method"] == "near" and ded.iloc[0]["mode"] == "drop"
