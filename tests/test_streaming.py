@@ -217,3 +217,35 @@ def test_stream_sessionize_late_events_merge(spark, tmp_path):
     assert got["events_n"].tolist() == [2, 1, 3]
     # invariant the old fold violated: end never precedes start
     assert (got["session_end"] >= got["session_start"]).all()
+
+
+def test_stream_metrics_observed_per_batch(spark, tmp_path):
+    """observe() metrics: one row per micro-batch in stream_metrics,
+    whose sums equal the sink's actual record/keep/scrub counts — the
+    streaming analog of verdict_summary."""
+    import os
+
+    indir = str(tmp_path / "pages_in")
+    # 4 input files at maxFilesPerTrigger=8 -> at least one batch;
+    # write in two chunks to encourage multiple batches
+    pages_df(spark, 200, partitions=2).write.parquet(indir)
+    pages_df(spark, 200, partitions=2).write.mode("append").parquet(indir)
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "out"), n_buckets=4)
+    sink = run_stream_once(spark, indir, cfg)
+    got = spark.read.parquet(sink)
+    metrics = spark.read.parquet(os.path.join(cfg.output_root, "stream_metrics")).toPandas()
+    assert len(metrics) >= 1
+    assert metrics["records"].sum() == got.count()
+    assert metrics["kept"].sum() == got.where("keep").count()
+    assert metrics["scrub_hits"].sum() == got.where("scrub_hit").count()
+    # batch ids are unique (exactly-once accounting)
+    assert metrics["batch_id"].is_unique
+
+    # dedup is batch-only on streams: clear error, not silent wrong data
+    import pytest as _pytest
+
+    from pcornet_data_curation_spark.streaming import curate_stream
+    with _pytest.raises(ValueError, match="batch-only"):
+        curate_stream(spark, indir, PipelineConfig(
+            output_root=str(tmp_path / "x"), dedup="flag"))
