@@ -31,9 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (45 of 51; omitted
-    only for the engine-specific families: blake2b minhash/simhash,
-    xxhash64 fingerprint, driver-side seeded k-means, and the
-    lookaround scrub chain — rows-only checks). The sign-LSH paths ARE
-    oracle-checked: their ±1 hyperplanes embed as SQL literals."""
+    """DuckDB-runnable ANSI SQL oracle per query (55 of 57; omitted
+    only for the two engine-specific residues: the xxhash64
+    fingerprint — whose md5 twin IS fully oracled — and the lookaround
+    scrub chain — whose non-lookaround core IS fully oracled. The
+    minhash/simhash banding, survivors, IVF (deterministic-centroid
+    literals), and sign-LSH paths are all value-hash-checked."""
     return Q.oracle_sql()

@@ -43,6 +43,7 @@ def contamination_flags(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     broadcast_max_grams: int = 50_000_000,
+    max_grams_per_doc: int = 2_000,
 ) -> DataFrame:
     """Per training document: how many of its distinct word k-grams
     appear anywhere in the benchmark set, and a contaminated flag
@@ -58,11 +59,13 @@ def contamination_flags(
         .select(F.explode(_distinct_gram_hashes(F.col(bench_text_col), k)).alias("gram"))
         .distinct()
     )
-    # the benchmark side is small by construction; count once to pick
-    # the join strategy (a driver-side scalar over the already-distinct
-    # gram projection — not a fact-table collect)
-    n_bench = bench_grams.count()
-    if n_bench <= broadcast_max_grams:
+    # join-strategy routing from a CHEAP estimate: a doc count (column-
+    # pruned scan, no shingling) times a per-doc gram bound — NOT a
+    # count() of the gram projection itself, which would pay the whole
+    # tokenize+shingle pass once for the estimate and again for the
+    # join (measured 2× the query cost at sf0.1)
+    n_bench_docs = bench.count()
+    if n_bench_docs * max_grams_per_doc <= broadcast_max_grams:
         bench_grams = F.broadcast(bench_grams)
 
     base = docs.select(

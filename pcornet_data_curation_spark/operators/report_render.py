@@ -79,6 +79,17 @@ def render_run_report(spark: SparkSession, output_root: str) -> str:
     )
     parts += ["## Language distribution\n", _md_table(langs)]
 
+    domains = (
+        read("reports/domain_dist")
+        .orderBy(F.col("record_n").desc(), F.asc_nulls_last("host"))
+        .limit(TOP_N)
+        .toPandas()
+    )
+    parts += ["## Domain distribution (top hosts + OTHER)\n", _md_table(domains)]
+
+    dedup = read("reports/dedup_summary").toPandas()
+    parts += ["## Content duplication\n", _md_table(dedup)]
+
     lineage = (
         read("lineage")
         .groupBy("stage")

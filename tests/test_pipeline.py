@@ -181,6 +181,8 @@ def test_run_report_markdown(spark, tmp_path):
         "## Completeness",
         "## Rule fail rates",
         "## Language distribution",
+        "## Domain distribution",
+        "## Content duplication",
         "## Stage timings",
     ):
         assert section in md, section
