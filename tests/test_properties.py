@@ -75,3 +75,24 @@ def test_doc_stats_batch_matches_singletons(texts):
         assert got["lang_pred"] == single["lang_pred"]
         assert got["n_tokens"] == single["n_tokens"]
         assert abs(got["ppl"] - single["ppl"]) < 1e-9 * max(1.0, single["ppl"])
+
+
+# ---- corpus-op properties (pure-python oracles, no Spark) -----------------
+
+langid_batch_strategy = st.lists(st.text(max_size=120), min_size=0, max_size=12)
+
+
+@settings(max_examples=120, deadline=None)
+@given(langid_batch_strategy)
+def test_langid_batch_agrees_with_single_for_any_unicode(texts):
+    """The packed-byte batch langid must agree with the per-doc scorer
+    (same language, confidence to accumulation noise) for ARBITRARY
+    unicode — the byte-level space-collapse must reproduce the regex
+    normalization everywhere, not just on the fixture."""
+    from pcornet_data_curation_spark.functions.textcore import langid_scores_batch
+
+    langs_b, confs_b = langid_scores_batch(texts)
+    for i, t in enumerate(texts):
+        lang_s, conf_s = langid_scores(t)
+        assert langs_b[i] == lang_s, repr(t)
+        assert abs(confs_b[i] - conf_s) < 1e-9, repr(t)
