@@ -36,5 +36,13 @@ def oracle_sql() -> dict[str, str]:
     fingerprint — whose md5 twin IS fully oracled — and the lookaround
     scrub chain — whose non-lookaround core IS fully oracled. The
     minhash/simhash banding, survivors, IVF (deterministic-centroid
-    literals), and sign-LSH paths are all value-hash-checked."""
+    literals), and sign-LSH paths are all value-hash-checked.
+
+    CONTRACT: the literal-fixture oracles (minhash/simhash/survivors/
+    ivf) embed signatures computed from $SPARK_GRAFT_ORACLE_SF_DIR
+    (default /root/testdata/sf0.01 — the driver's comparison scale).
+    Running those four queries() at a DIFFERENT sf_dir than the
+    oracle fixtures were built from yields a guaranteed mismatch that
+    is a harness misconfiguration, not an engine bug; export the env
+    var to match, as tools/check_oracle.py does."""
     return Q.oracle_sql()

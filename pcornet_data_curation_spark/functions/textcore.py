@@ -211,9 +211,13 @@ def langid_scores_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
     regex. Exactly the trigram sequence of the former per-doc
     `_NONLETTER_RE` + `WS_RE` normalization (multi-byte chars become
     space RUNS that the collapse reduces to the single space the
-    regexes produced; too-short docs simply yield no valid window),
-    so scores/confidences are bit-identical — pinned by
-    test_textcore.test_langid_batch_matches_single."""
+    regexes produced; too-short docs simply yield no valid window):
+    bit-identical to the PREVIOUS batch implementation, and equal to
+    the per-doc langid_scores up to float-accumulation order (the
+    single-doc path uses a dense matvec; last-ulp confidence
+    differences only) — pinned by
+    test_textcore.test_langid_batch_matches_single and the hypothesis
+    sweep in test_properties."""
     n = len(texts)
     langs_out: list[str] = ["und"] * n
     conf_out = np.zeros(n, dtype=np.float64)

@@ -101,6 +101,13 @@ def minhash_lsh_pairs(
     sigged = with_minhash(df, text_col, num_perm, k, seed).select(
         F.col(id_col).alias("_id"), "minhash"
     )
+    # docs with NO word k-shingles (empty/short text) carry the all-MAX
+    # sentinel signature — without this filter every such doc would
+    # band with every other one at est_jaccard 1.0 and unrelated short
+    # docs would collapse into one duplicate component. Real values are
+    # mod MINHASH_P (< P), so element 0 == P detects the sentinel
+    # exactly; shingle-less docs are simply never near-dup candidates.
+    sigged = sigged.where(F.col("minhash")[0] != F.lit(H.MINHASH_P))
     sigged = sigged.persist()
     band_structs = F.array(
         *[
@@ -208,7 +215,18 @@ def simhash_pairs(
     once per surviving candidate from the persisted (id, simhash)
     frame (attached as ``result._persisted_deps``; see
     unpersist_deps)."""
-    hashed = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    # docs with no tokens (NULL/whitespace-only text) all hash to the 0
+    # sentinel and would pair with each other at hamming 0; exclude
+    # them the same way minhash_lsh_pairs drops sentinel signatures
+    # (trim-normalized emptiness ⟺ tokenize() returns no tokens)
+    ws = "[ \\t\\n\\r\\f\\x0B]+"
+    has_tokens = F.col(text_col).isNotNull() & (
+        F.trim(F.regexp_replace(F.col(text_col), ws, " ")) != ""
+    )
+    hashed = (
+        with_simhash(df.where(has_tokens), text_col)
+        .select(F.col(id_col).alias("_id"), "simhash")
+    )
     hashed = hashed.persist()  # pandas-UDF pass runs once (banding + rejoins)
     bits_per_band = 64 // n_bands
     banded = hashed.select(
@@ -292,7 +310,7 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates()
     sym = sym.repartition("src").cache()
-    labels = (
+    init_labels = labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
@@ -328,6 +346,8 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if labels is not init_labels:
+        init_labels.unpersist()  # deterministic release of the seed cache
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

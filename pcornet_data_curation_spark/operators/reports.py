@@ -465,7 +465,21 @@ def crosstab(
     ).orderBy(*levels)
 
 
-HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+# hostname only: optional userinfo (up to @) skipped, port (after :)
+# excluded — 'https://u@cdn.example.com:443/x' and
+# 'https://cdn.example.com/y' must count as ONE host or concentration
+# checks can be evaded by port/userinfo variation. (Bracketed IPv6
+# literals are not special-cased; they land in the NULL host row.)
+HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
+
+
+def _host_counts(df: "DataFrame", url_col: str, aggs: list) -> "DataFrame":
+    """Shared per-host aggregation core of domain_dist/domain_summary:
+    lowercased hostname (NULL when unparsable) → one groupBy whose
+    partial aggregation absorbs hot hosts map-side."""
+    host_raw = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    host = F.when(host_raw == "", F.lit(None)).otherwise(F.lower(host_raw))
+    return df.groupBy(host.alias("host")).agg(*aggs)
 
 
 def domain_dist(
@@ -487,14 +501,13 @@ def domain_dist(
     join against the broadcast 20-row top list plus a single agg.
     Unparsable urls land in the NULL host row (reference NULL-category
     convention)."""
-    host_raw = F.regexp_extract(F.col(url_col), HOST_RE, 1)
-    host = F.when(host_raw == "", F.lit(None)).otherwise(F.lower(host_raw))
-    counts = (
-        df.groupBy(host.alias("host"))
-        .agg(
+    counts = _host_counts(
+        df,
+        url_col,
+        [
             F.count(F.lit(1)).alias("record_n"),
             F.sum(F.col("keep").cast("long")).alias("kept_n"),
-        )
+        ],
     )
     top = counts.orderBy(F.col("record_n").desc(), F.asc_nulls_last("host")).limit(top_n)
     top_hosts = top.select(F.col("host").alias("_th"))
@@ -527,9 +540,7 @@ def domain_summary(df: "DataFrame", url_col: str = "url", top_n: int = 20) -> "D
     dynamic hostnames in domain_dist can't anchor threshold checks):
     hosts_n, top1/topN share of records, null-host count. Same
     aggregation core as domain_dist; one extra tiny sort."""
-    host_raw = F.regexp_extract(F.col(url_col), HOST_RE, 1)
-    host = F.when(host_raw == "", F.lit(None)).otherwise(F.lower(host_raw))
-    counts = df.groupBy(host.alias("host")).agg(F.count(F.lit(1)).alias("record_n"))
+    counts = _host_counts(df, url_col, [F.count(F.lit(1)).alias("record_n")])
     top = counts.orderBy(F.col("record_n").desc(), F.asc_nulls_last("host")).limit(top_n)
     agg = counts.agg(
         F.count(F.lit(1)).alias("hosts_n"),

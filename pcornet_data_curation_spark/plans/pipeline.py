@@ -151,9 +151,15 @@ def with_exact_dup_flag(df: DataFrame) -> DataFrame:
     fp = F.xxhash64(F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), ws, " "))))
     keyed = df.withColumn("_fp", fp)
     survivors = keyed.groupBy("_fp").agg(F.min("url").alias("_surv_url"))
+    # null-safe: a NULL-url copy of survivable content IS a duplicate
+    # (min(url) skipped it), and a group of only NULL urls has no
+    # orderable survivor so none of its rows are flagged — either way
+    # exact_dup must come out two-valued, never NULL (a plain != would
+    # propagate NULL through `keep` in drop mode and make keep
+    # three-valued: counted by no aggregate, dropped by every filter)
     return (
         keyed.join(survivors, "_fp")
-        .withColumn("exact_dup", F.col("url") != F.col("_surv_url"))
+        .withColumn("exact_dup", ~F.col("url").eqNullSafe(F.col("_surv_url")))
         .drop("_fp", "_surv_url")
     )
 
@@ -260,6 +266,17 @@ def run_pipeline(
     out = cfg.output_root
     curated_path = os.path.join(out, "curated")
     manifest = Manifest.load_or_init(out, cfg.n_buckets)
+    # staleness is evaluated against the store AS THIS RUN FOUND IT: a
+    # prior run that curated buckets but died before re-reporting left
+    # reports older than data, and that is only observable BEFORE this
+    # run rewrites and re-marks every report (evaluating the live
+    # manifest after reporting would read stale=0 unconditionally —
+    # dead instrumentation)
+    import copy as _copy
+    import time as _time
+
+    pre_run_manifest = _copy.deepcopy(manifest.data)
+    pre_run_ts = _time.time()
 
     pending = manifest.pending_buckets()
     if limit_buckets is not None:
@@ -516,7 +533,9 @@ def run_pipeline(
                 cond = cond & (F.col("dc_name") != d)
             return m.where(cond)
 
-        extra = [staleness_metrics(manifest.data, _time.time(), spark)]
+        # pre-run snapshot (see load_or_init above): detects the
+        # died-mid-report inconsistency this run is about to repair
+        extra = [staleness_metrics(pre_run_manifest, pre_run_ts, spark)]
         if cfg.prior_run_root:
             prior_path = os.path.join(cfg.prior_run_root, "metrics")
             try:

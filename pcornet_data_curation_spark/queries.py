@@ -1149,12 +1149,13 @@ def _oracle_docs_with_dups() -> list[tuple[int, str | None]]:
 def _minhash_sig_values() -> str:
     from pcornet_data_curation_spark.functions import hashing as H
 
-    return ",\n".join(
-        "(" + str(did) + ", ["
-        + ",".join(str(x) for x in H.minhash_signature(txt, num_perm=64, k=3, seed=42))
-        + "])"
-        for did, txt in _oracle_docs_with_dups()
-    )
+    entries = []
+    for did, txt in _oracle_docs_with_dups():
+        sig = H.minhash_signature(txt, num_perm=64, k=3, seed=42)
+        if sig[0] == H.MINHASH_P:
+            continue  # shingle-less sentinel — engine excludes these too
+        entries.append("(" + str(did) + ", [" + ",".join(str(x) for x in sig) + "])")
+    return ",\n".join(entries)
 
 
 _MINHASH_BAND_SQL = """
@@ -1199,8 +1200,12 @@ def q_simhash_pairs(spark, sf_dir):
 def _sql_simhash_pairs() -> str:
     from pcornet_data_curation_spark.functions import hashing as H
 
+    from pcornet_data_curation_spark.functions.textcore import tokenize
+
     entries = []
     for did, txt in _oracle_docs_with_dups():
+        if not tokenize(txt or ""):
+            continue  # no-token 0-sentinel — engine excludes these too
         h = H.simhash64(txt)
         hs = h - (1 << 64) if h >= (1 << 63) else h  # two's-complement BIGINT
         bands = [(h >> (b * 16)) & 0xFFFF for b in range(4)]

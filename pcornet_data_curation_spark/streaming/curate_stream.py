@@ -120,6 +120,15 @@ def run_stream_once(
         deadline = _time.monotonic() + 30.0
         while not listener.terminated and _time.monotonic() < deadline:
             _time.sleep(0.1)
+        if not listener.terminated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stream_metrics may be INCOMPLETE: the listener's "
+                "termination event did not arrive within 30s of "
+                "awaitTermination; %d batch rows captured so far",
+                len(listener.rows),
+            )
     finally:
         spark.streams.removeListener(listener)
     spark.createDataFrame(listener.rows, STREAM_METRICS_DDL).write.mode(

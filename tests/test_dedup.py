@@ -189,11 +189,12 @@ def test_near_dedup_survivors(spark, docs):
     from pcornet_data_curation_spark.operators.dedup import near_dedup_survivors
 
     # DOCS fixture: 1=2 exact dups, 3 near-dup of them, 4/5 unique,
-    # 6=None and 7="" (empty docs carry identical all-MAX signatures,
-    # so they form their own component — min id 6 survives)
+    # 6=None and 7="" (shingle-less docs carry the sentinel signature
+    # and are EXCLUDED from pairing — unrelated empty docs are not
+    # duplicates of each other, so both survive)
     out = near_dedup_survivors(docs, threshold=0.5).toPandas()
     ids = set(out["doc_id"])
-    assert ids == {1, 4, 5, 6}
+    assert ids == {1, 4, 5, 6, 7}
 
 
 def test_embedding_multiseed_recall(spark):
@@ -217,3 +218,34 @@ def test_embedding_multiseed_recall(spark):
     if ex:
         assert len(s4) / len(ex) >= len(s1) / len(ex)
         assert len(s4) / len(ex) >= 0.5  # 4 tables recover the majority
+
+
+def test_shingleless_docs_never_pair(spark):
+    """Empty/short docs carry sentinel signatures (all-MAX minhash,
+    simhash 0); they must NOT band together as pairwise duplicates —
+    the old behavior collapsed every <k-word doc into one component."""
+    from pcornet_data_curation_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_survivors,
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "hello world"),            # < 3 words: no 3-shingles
+        (2, "buy now"),
+        (3, None),
+        (4, ""),
+        (5, "   \t  "),
+        (6, "a completely ordinary document with plenty of words inside it"),
+        (7, "a completely ordinary document with plenty of words inside it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = minhash_lsh_pairs(df, threshold=0.8).toPandas()
+    assert set(map(tuple, mh[["id_a", "id_b"]].values)) == {(6, 7)}
+    sh = simhash_pairs(df, max_hamming=3).toPandas()
+    # simhash pairs 1-2 only if their real token hashes collide (they
+    # don't); the sentinel docs 3-5 must never appear at all
+    assert not set(sh["id_a"]) & {3, 4, 5} and not set(sh["id_b"]) & {3, 4, 5}
+    # survivors: every shingle-less doc survives untouched
+    surv = set(near_dedup_survivors(df).toPandas()["doc_id"])
+    assert {1, 2, 3, 4, 5}.issubset(surv) and surv & {6, 7} == {6}

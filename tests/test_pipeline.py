@@ -412,3 +412,59 @@ def test_dedup_near_mode(spark, tmp_path):
     assert flagged == expected_flagged
     ded = spark.read.parquet(os.path.join(res["reports"], "dedup_summary")).toPandas()
     assert ded.iloc[0]["method"] == "near" and ded.iloc[0]["mode"] == "drop"
+
+
+def test_exact_dup_flag_null_urls_two_valued(spark):
+    """exact_dup is always a two-valued boolean, even for NULL urls: a
+    NULL-url copy of real-url content is flagged (min(url) skipped it);
+    a group of only NULL urls has no orderable survivor and stays
+    unflagged; nothing ever propagates NULL into keep."""
+    from pcornet_data_curation_spark.plans.pipeline import with_exact_dup_flag
+
+    rows = [
+        ("https://a.example/1", "same content here"),
+        (None, "same content here"),          # dup of the survivable row
+        (None, "only null urls content"),
+        (None, "only null urls content"),
+        ("https://b.example/1", "unique content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = with_exact_dup_flag(df).toPandas()
+    assert out["exact_dup"].notna().all()
+    assert out.loc[out.url == "https://a.example/1", "exact_dup"].iloc[0] == False  # noqa: E712
+    assert out.loc[out.url.isna() & (out.text == "same content here"), "exact_dup"].iloc[0] == True  # noqa: E712
+    assert not out.loc[out.text == "only null urls content", "exact_dup"].any()
+    assert out.loc[out.url == "https://b.example/1", "exact_dup"].iloc[0] == False  # noqa: E712
+
+
+def test_staleness_check_fires_on_resume_after_died_mid_report(spark, tmp_path):
+    """WIRING test for 12.01 (not just the unit on a synthetic dict):
+    staleness is evaluated against the manifest AS LOADED, so a store
+    where a prior run recurated buckets but died before re-reporting
+    (simulated by backdating one report below the bucket timestamps)
+    produces stale=1 rows — and a tripped 12.01 — in the NEXT run's
+    metrics, which then repairs the store (a third run is clean)."""
+    import json
+
+    out = str(tmp_path / "o")
+    pages = pages_df(spark, 200, partitions=2)
+    run_pipeline(spark, pages, PipelineConfig(output_root=out, n_buckets=4))
+
+    mpath = os.path.join(out, "_manifest.json")
+    md = json.load(open(mpath))
+    newest_bucket = max(v["finished_at"] for v in md["buckets"].values())
+    md["reports"]["lang_dist"]["finished_at"] = newest_bucket - 100.0
+    json.dump(md, open(mpath, "w"))
+
+    res = run_pipeline(spark, pages, PipelineConfig(output_root=out, n_buckets=4))
+    m = spark.read.parquet(res["metrics"]).toPandas()
+    stale = m[(m.dc_name == "report_staleness") & (m.statistic == "stale")]
+    assert dict(zip(stale.category, stale.resultn))["lang_dist"] == 1.0
+    exc = spark.read.parquet(res["exceptions"]).toPandas()
+    assert "12.01" in set(exc.loc[exc["exception"], "check_id"])
+
+    # the run above re-reported everything: a third run sees no staleness
+    res3 = run_pipeline(spark, pages, PipelineConfig(output_root=out, n_buckets=4))
+    m3 = spark.read.parquet(res3["metrics"]).toPandas()
+    stale3 = m3[(m3.dc_name == "report_staleness") & (m3.statistic == "stale")]
+    assert (stale3.resultn == 0.0).all()

@@ -259,3 +259,23 @@ def test_domain_summary_concentration(spark):
     assert s["hosts_n"] == 31 and s["records"] == 100 and s["null_host_n"] == 0
     assert s["top1_share_pct"] == 70.0
     assert s["top5_share_pct"] == 74.0  # 70 + 4 tail singletons
+
+
+def test_host_extraction_ignores_port_and_userinfo(spark):
+    """One real host must count as one host regardless of port or
+    userinfo decoration — otherwise the 14.x concentration checks can
+    be evaded by url variation."""
+    from pcornet_data_curation_spark.operators.reports import domain_summary
+
+    rows = [
+        ("https://cdn.example.com/a", True),
+        ("https://cdn.example.com:443/b", True),
+        ("https://user@cdn.example.com/c", True),
+        ("https://user:pw@cdn.example.com:8443/d", True),
+        ("HTTPS://CDN.EXAMPLE.COM/e", True),     # case-folded
+        ("https://other.example.net/x", True),
+    ]
+    df = spark.createDataFrame(rows, "url string, keep boolean")
+    s = domain_summary(df, top_n=5).toPandas().iloc[0]
+    assert s["hosts_n"] == 2
+    assert s["top1_share_pct"] == pytest.approx(83.3333, abs=0.001)
