@@ -55,3 +55,48 @@ def test_bucket_and_salt_are_independent_streams(spark):
     assert len(both) == 32
     cv = np.std(both["count"]) / np.mean(both["count"])
     assert cv < 0.5
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_shapes_pinned(spark):
+    """Physical-plan regression pins for the scale-critical operators:
+    these properties are WHY the operators survive 100x data — losing
+    one silently (an optimizer change, a refactor) must fail a test,
+    not a production run."""
+    import pcornet_data_curation_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    # cross-doc document frequency: two-phase partial agg + join, never
+    # a per-gram window (a hot gram must not own a single task)
+    p = _plan(Q.queries()["cross_doc_ngrams"](spark, sf))
+    assert "WindowExec" not in p and "HashAggregate" in p
+
+    # topgram: window-free doc-keyed aggregation
+    p = _plan(Q.queries()["topgram_repetition"](spark, sf))
+    assert "WindowExec" not in p
+
+    # decontamination: benchmark grams broadcast; corpus side never
+    # exchanges for the probe
+    p = _plan(Q.queries()["decontaminate"](spark, sf))
+    assert "BroadcastHashJoin" in p
+
+    # stratified sampling: pure filter at the scan, zero exchanges
+    p = _plan(Q.queries()["stratified_sample"](spark, sf))
+    assert "Exchange" not in p
+
+    # minhash banding: the band self-join must NOT carry signatures —
+    # no 'minhash' column in any Exchange above the join
+    from pcornet_data_curation_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    p = _plan(pairs)
+    join_part = p.split("SortMergeJoin")[0] if "SortMergeJoin" in p else p
+    for line in join_part.splitlines():
+        if "Exchange hashpartitioning" in line and "bhash" in line:
+            assert "minhash" not in line
+    from pcornet_data_curation_spark.operators.dedup import unpersist_deps
+    unpersist_deps(pairs)
