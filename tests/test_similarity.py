@@ -199,3 +199,27 @@ def test_ivf_partitioned_table_prunes_scan(spark, tmp_path):
     assert pf and "ivf_cell" in pf[0]  # pruning predicate reached the scan
     got = ivf_topk(store, q, cents, k=5, n_probe=2).toPandas()
     assert len(got) == 5
+
+
+def test_ivf_save_load_roundtrip(spark, tmp_path):
+    """A persisted quantizer reloads bit-identically and drives the
+    same cell assignments and top-k as the in-memory fit — the
+    fit-once / reuse-everywhere lifecycle a 10^12-vector corpus needs."""
+    import numpy as np
+
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_fit,
+        ivf_load,
+        ivf_save,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_fit(emb, n_centroids=8)
+    path = str(tmp_path / "quantizer.parquet")
+    ivf_save(cents, path)
+    loaded = ivf_load(path)
+    assert np.array_equal(cents, loaded)
+    a = with_ivf_cell(emb, cents).select("vec_id", "ivf_cell").toPandas().sort_values("vec_id")
+    b = with_ivf_cell(emb, loaded).select("vec_id", "ivf_cell").toPandas().sort_values("vec_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
