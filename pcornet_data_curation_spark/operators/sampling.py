@@ -56,6 +56,39 @@ def stratified_sample(
     return df.where(uniform_hash_col(F.col(id_col), seed) < rate)
 
 
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    col_name: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5(id:seed)
+    uniform is compared against the cumulative split boundaries in
+    sorted-name order, so every row lands in exactly one split and the
+    assignment survives re-partitioning, resume, and engine changes
+    (the leakage-free property a training pipeline needs — a doc must
+    never migrate between train and eval across runs). splits maps
+    name → fraction; fractions must sum to 1 (±1e-9). Zero shuffles —
+    one hash + when-chain inside codegen."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = uniform_hash_col(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = sorted(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        expr = (
+            F.when(u < F.lit(acc), F.lit(name))
+            if expr is None
+            else expr.when(u < F.lit(acc), F.lit(name))
+        )
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(col_name, expr)
+
+
 def pack_token_shards(
     df: DataFrame,
     tokens_col: str,

@@ -16,6 +16,7 @@ The ASCII whitespace class matches functions.textcore.WS_RE.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -236,6 +237,28 @@ def dup_line_metrics_exploded(
         "line_chars",
         frac.alias("dup_line_frac"),
     )
+
+
+def nfc_normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization (UAX #15) — the canonical-composition
+    step most training pipelines apply before tokenization so that
+    'café' composed and decomposed hash/dedup identically. Spark has no
+    built-in normalizer, so this is an Arrow-batched pandas UDF around
+    unicodedata (one of the few justified Python text ops); DuckDB's
+    nfc_normalize implements the same UAX #15 mapping, verified
+    equal on composed/decomposed/compatibility cases, so the op is
+    fully value-hash oracle-checked."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return df.select(F.col(id_col), _nfc(F.col(text_col)).alias("text_nfc"))
 
 
 def topgram_repetition(

@@ -1478,6 +1478,47 @@ WHERE CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':7')), 1,
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split assignment: md5(id:seed)
+    uniform vs cumulative boundaries — a doc never migrates between
+    train and eval across runs/partitionings (leakage-free)."""
+    from pcornet_data_curation_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11
+    ).select("doc_id", "split")
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN u < 0.05 THEN 'test'
+            WHEN u < 0.95 THEN 'train'
+            ELSE 'val' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':11')), 1, 8)) AS BIGINT)
+         / 4294967296.0 AS u
+  FROM documents
+)
+"""
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization per document (UAX #15 canonical
+    composition) — pandas-UDF around unicodedata; DuckDB nfc_normalize
+    is the same mapping, so this Python text op is value-hash-checked
+    cross-engine."""
+    from pcornet_data_curation_spark.operators.textanalysis import nfc_normalize_text
+
+    return nfc_normalize_text(_t(spark, sf_dir, "documents"))
+
+
+SQL_NFC_NORMALIZE = """
+SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents
+"""
+
+
 def q_pack_token_shards(spark, sf_dir):
     """Token-budget shard packing: assign documents to ~5000-char
     training shards per source, greedily in doc_id order (running-sum
@@ -2166,6 +2207,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "topgram_repetition": (q_topgram_repetition, SQL_TOPGRAM_REPETITION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "nfc_normalize": (q_nfc_normalize, SQL_NFC_NORMALIZE),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "minhash_lsh_pairs": (q_minhash_pairs, _sql_minhash_pairs),
     "near_dedup_survivors": (q_near_dedup_survivors, _sql_near_dedup_survivors),
@@ -2220,7 +2263,8 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "fingerprint", "fingerprint_md5", "token_stats", "bpe_token_count", "quality_score",
         "langid_heuristic", "dup_line_metrics", "dup_line_metrics_exploded",
         "cross_doc_ngrams", "topgram_repetition", "decontaminate",
-        "stratified_sample", "pack_token_shards",
+        "stratified_sample", "hash_split", "nfc_normalize",
+        "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",

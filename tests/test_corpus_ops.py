@@ -117,3 +117,44 @@ def test_pack_token_shards_greedy_bounds(spark):
     assert (tot <= 1000 + out["n_tokens"].max()).all()
     # running-sum bookkeeping is exact
     assert s1["shard_tokens_before"].tolist() == [400 * i for i in range(10)]
+
+
+def test_hash_split_deterministic_and_exclusive(spark):
+    from pcornet_data_curation_spark.operators.sampling import hash_split
+
+    df = spark.range(6000).select(F.col("id").alias("doc_id"))
+    a = hash_split(df, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1).toPandas()
+    b = (
+        hash_split(df.repartition(17), {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1)
+        .toPandas()
+    )
+    # leakage-free: identical assignment regardless of partitioning
+    am = dict(zip(a.doc_id, a.split))
+    bm = dict(zip(b.doc_id, b.split))
+    assert am == bm
+    frac = a["split"].value_counts(normalize=True)
+    assert frac["train"] == pytest.approx(0.9, abs=0.02)
+    assert frac["val"] == pytest.approx(0.05, abs=0.01)
+    assert frac["test"] == pytest.approx(0.05, abs=0.01)
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"train": 0.5, "val": 0.4})
+
+
+def test_nfc_normalize_through_spark(spark):
+    """Composed and decomposed forms normalize to the same bytes; NULL
+    passes through; compatibility (NFKC-only) characters are preserved
+    (NFC is canonical-only)."""
+    from pcornet_data_curation_spark.operators.textanalysis import nfc_normalize_text
+
+    rows = [
+        (1, "café"),    # decomposed e + combining acute
+        (2, "café"),     # precomposed
+        (3, "ﬁle"),      # LATIN SMALL LIGATURE FI — NFC keeps it
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = nfc_normalize_text(df).toPandas().set_index("doc_id")["text_nfc"]
+    assert out[1] == out[2] == "café"
+    assert out[3] == "ﬁle"
+    assert out[4] is None and out[5] == "plain ascii"
