@@ -200,7 +200,11 @@ def run_scaling(n_docs: int) -> int:
         # neighbor variance (the raw-CPU ceiling probe itself swings
         # 0.74-0.97 between runs); min is the honest capability number
         env = dict(
-            os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_REPEATS="2"
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_BENCH_REPEATS=os.environ.get(
+                "SPARK_GRAFT_SCALING_REPEATS", "2"
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--curation-only",
