@@ -189,33 +189,97 @@ def machine_ceiling() -> float:
     return round(times[8] / times[32] / 4.0, 3)
 
 
+_TRIAD_BUFS = None
+
+
+def _triad(n: int) -> float:
+    """STREAM-style triad over per-process buffers allocated ONCE (a
+    fresh allocation per call measures kernel page-zeroing, not
+    bandwidth — observed to swing the ratio 6x)."""
+    import numpy as _np
+
+    global _TRIAD_BUFS
+    if _TRIAD_BUFS is None:
+        a = _np.ones(16_000_000)
+        b = _np.ones(16_000_000)
+        c = _np.zeros(16_000_000)
+        _TRIAD_BUFS = (a, b, c)
+    a, b, c = _TRIAD_BUFS
+    t0 = time.perf_counter()
+    for _ in range(n):
+        _np.multiply(b, 1.01, out=c)
+        c += a
+    return time.perf_counter() - t0
+
+
+def machine_membw_ceiling() -> float:
+    """Raw 8→32-process scaling of a STREAM-triad (memory-BANDWIDTH
+    bound) workload on THIS host. Single-box bandwidth is a shared
+    fixed resource: on this sandbox 8 processes already saturate it
+    (measured ratio ~0.26), so any byte-moving stage of the pipeline
+    is capped by THIS number on one box — while on N→4N separate
+    executors every node brings its own memory controllers. Reported
+    alongside the CPU ceiling so a single-box efficiency reading can
+    be placed between the two."""
+    import multiprocessing as mp
+
+    times = {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as p:
+            p.map(_triad, [1] * procs)  # warm
+            t0 = time.perf_counter()
+            p.map(_triad, [4] * 64)
+            times[procs] = time.perf_counter() - t0
+    return round(times[8] / times[32] / 4.0, 3)
+
+
 def run_scaling(n_docs: int) -> int:
     """Same job, same input, two parallelism levels → scaling efficiency.
 
     efficiency = (docs/sec at 32 cores) / (4 × docs/sec at 8 cores)
     """
-    results = {}
-    for cpus in (8, 32):
-        # best-of-2 timed runs per level: this sandbox shows noisy-
-        # neighbor variance (the raw-CPU ceiling probe itself swings
-        # 0.74-0.97 between runs); min is the honest capability number
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_BENCH_REPEATS=os.environ.get(
-                "SPARK_GRAFT_SCALING_REPEATS", "2"
-            ),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--curation-only",
-             "--docs", str(n_docs)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    # INTERLEAVED rounds (8,32,8,32,...), best-of per level: the two
+    # levels must see the SAME noisy-neighbor environment or the ratio
+    # is garbage — a sequential [8×N then 32×N] design measured 0.55
+    # and 0.93 on the same code depending on which phase the neighbor
+    # load landed in. Min-of-interleaved is the honest capability pair.
+    #
+    # CPU PINNING (taskset -c 0-(N-1)): in local[N] mode the Python
+    # UDF workers run OUTSIDE the N-thread JVM budget, so an unpinned
+    # "local[8]" run borrows up to 8 extra cores whenever JVM and
+    # Python sides overlap — inflating the N-level baseline and
+    # understating N→4N efficiency (measured: unpinned local[8] hit
+    # 12.6k docs/s on a quiet 32-core box — more than an 8-core
+    # machine can do). A real N-core executor cgroups BOTH sides onto
+    # N cores; pinning reproduces that.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    pin = os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") != "0"
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for cpus in (8, 32):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_BENCH_REPEATS="1",
+            )
+            cmd = [sys.executable, os.path.join(REPO, "bench.py"),
+                   "--curation-only", "--docs", str(n_docs)]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            out = subprocess.run(
+                cmd,
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if (
+                cpus not in results
+                or r["curation_docs_per_sec"] > results[cpus]["curation_docs_per_sec"]
+            ):
+                results[cpus] = r
     tp8 = results[8]["curation_docs_per_sec"]
     tp32 = results[32]["curation_docs_per_sec"]
     eff = round(tp32 / (4.0 * tp8), 3)
@@ -231,6 +295,7 @@ def run_scaling(n_docs: int) -> int:
             "local[32]": results[32]["queries"]["curation_pipeline"],
         },
         "host_cpu_scaling_ceiling": ceiling,
+        "host_membw_scaling_ceiling": machine_membw_ceiling(),
         "efficiency_vs_host_ceiling": round(eff / ceiling, 3) if ceiling else None,
     }
     print(json.dumps(summary))
