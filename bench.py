@@ -190,20 +190,28 @@ def machine_ceiling() -> float:
 
 
 _TRIAD_BUFS = None
+_TRIAD_N = 8_000_000  # 3 × 64 MB per worker → ~6 GB peak at 32 procs
 
 
-def _triad(n: int) -> float:
-    """STREAM-style triad over per-process buffers allocated ONCE (a
-    fresh allocation per call measures kernel page-zeroing, not
-    bandwidth — observed to swing the ratio 6x)."""
+def _triad_init() -> None:
+    """Pool initializer: allocate (and touch) the buffers BEFORE the
+    timed region — warm-up via map() does not guarantee every worker
+    pulls a task, and a mid-measurement 192 MB page-zeroing allocation
+    is exactly the artifact that swings the ratio."""
     import numpy as _np
 
     global _TRIAD_BUFS
-    if _TRIAD_BUFS is None:
-        a = _np.ones(16_000_000)
-        b = _np.ones(16_000_000)
-        c = _np.zeros(16_000_000)
-        _TRIAD_BUFS = (a, b, c)
+    a = _np.ones(_TRIAD_N)
+    b = _np.ones(_TRIAD_N)
+    c = _np.zeros(_TRIAD_N)
+    _TRIAD_BUFS = (a, b, c)
+
+
+def _triad(n: int) -> float:
+    if _TRIAD_BUFS is None:  # direct call outside a pool
+        _triad_init()
+    import numpy as _np
+
     a, b, c = _TRIAD_BUFS
     t0 = time.perf_counter()
     for _ in range(n):
@@ -225,8 +233,8 @@ def machine_membw_ceiling() -> float:
 
     times = {}
     for procs in (8, 32):
-        with mp.Pool(procs) as p:
-            p.map(_triad, [1] * procs)  # warm
+        with mp.Pool(procs, initializer=_triad_init) as p:
+            p.map(_triad, [1] * procs)  # warm numpy/jit, buffers preallocated
             t0 = time.perf_counter()
             p.map(_triad, [4] * 64)
             times[procs] = time.perf_counter() - t0
@@ -253,7 +261,12 @@ def run_scaling(n_docs: int) -> int:
     # machine can do). A real N-core executor cgroups BOTH sides onto
     # N cores; pinning reproduces that.
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    pin = os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") != "0"
+    # pinning needs the cores it names; on a smaller host fall back to
+    # unpinned (taskset to nonexistent CPUs errors out the subprocess)
+    pin = (
+        os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") != "0"
+        and (os.cpu_count() or 0) >= 32
+    )
     results: dict[int, dict] = {}
     for _ in range(rounds):
         for cpus in (8, 32):

@@ -218,10 +218,12 @@ def simhash_pairs(
     # docs with no tokens (NULL/whitespace-only text) all hash to the 0
     # sentinel and would pair with each other at hamming 0; exclude
     # them the same way minhash_lsh_pairs drops sentinel signatures
-    # (trim-normalized emptiness ⟺ tokenize() returns no tokens)
-    ws = "[ \\t\\n\\r\\f\\x0B]+"
+    # (trim-normalized emptiness ⟺ tokenize() returns no tokens; the
+    # shared WS class keeps that equivalence byte-identical)
+    from pcornet_data_curation_spark.operators.textanalysis import WS as _WS
+
     has_tokens = F.col(text_col).isNotNull() & (
-        F.trim(F.regexp_replace(F.col(text_col), ws, " ")) != ""
+        F.trim(F.regexp_replace(F.col(text_col), _WS, " ")) != ""
     )
     hashed = (
         with_simhash(df.where(has_tokens), text_col)

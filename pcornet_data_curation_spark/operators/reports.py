@@ -468,9 +468,11 @@ def crosstab(
 # hostname only: optional userinfo (up to @) skipped, port (after :)
 # excluded — 'https://u@cdn.example.com:443/x' and
 # 'https://cdn.example.com/y' must count as ONE host or concentration
-# checks can be evaded by port/userinfo variation. (Bracketed IPv6
-# literals are not special-cased; they land in the NULL host row.)
-HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
+# checks can be evaded by port/userinfo variation. The first host char
+# excludes '[' so bracketed IPv6 literals genuinely land in the NULL
+# host row (without it they would all collapse into a phantom '['
+# host, since ':' inside the brackets stops the match).
+HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@\\[][^/?#:@]*)"
 
 
 def _host_counts(df: "DataFrame", url_col: str, aggs: list) -> "DataFrame":

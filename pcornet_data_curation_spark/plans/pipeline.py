@@ -156,7 +156,11 @@ def with_exact_dup_flag(df: DataFrame) -> DataFrame:
     # orderable survivor so none of its rows are flagged — either way
     # exact_dup must come out two-valued, never NULL (a plain != would
     # propagate NULL through `keep` in drop mode and make keep
-    # three-valued: counted by no aggregate, dropped by every filter)
+    # three-valued: counted by no aggregate, dropped by every filter).
+    # Rows missing the contract key (url, per BASELINE input_hint) are
+    # deliberately NOT deduped among themselves — there is no
+    # deterministic survivor without an id — and are surfaced loudly by
+    # red check 10.03 (null urls in curated table) instead.
     return (
         keyed.join(survivors, "_fp")
         .withColumn("exact_dup", ~F.col("url").eqNullSafe(F.col("_surv_url")))
@@ -517,8 +521,6 @@ def run_pipeline(
         # inputs are tiny aggregated tables — cost independent of corpus
         # size. Drift compares FIRST-ORDER metrics only (a prior run's
         # own drift/trend/staleness rows are excluded on both sides).
-        import time as _time
-
         from pcornet_data_curation_spark.operators.drift import (
             drift_metrics,
             staleness_metrics,
@@ -533,9 +535,21 @@ def run_pipeline(
                 cond = cond & (F.col("dc_name") != d)
             return m.where(cond)
 
-        # pre-run snapshot (see load_or_init above): detects the
-        # died-mid-report inconsistency this run is about to repair
-        extra = [staleness_metrics(pre_run_manifest, pre_run_ts, spark)]
+        # staleness has TWO distinct questions with different frames of
+        # reference: `stale` (reports older than curated data — the
+        # died-mid-report inconsistency) is only observable on the
+        # PRE-RUN snapshot, because this run repairs it; `age_sec`
+        # (report older than N days, check 12.02) is about the store
+        # being LEFT BEHIND, so it reads the live manifest after this
+        # run re-marked every report — otherwise an 8-day-old store
+        # would alarm on the very run that just refreshed it
+        stale_rows = staleness_metrics(pre_run_manifest, pre_run_ts, spark).where(
+            F.col("statistic") == "stale"
+        )
+        age_rows = staleness_metrics(manifest.data, _time.time(), spark).where(
+            F.col("statistic") == "age_sec"
+        )
+        extra = [stale_rows, age_rows]
         if cfg.prior_run_root:
             prior_path = os.path.join(cfg.prior_run_root, "metrics")
             try:

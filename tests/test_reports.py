@@ -279,3 +279,17 @@ def test_host_extraction_ignores_port_and_userinfo(spark):
     s = domain_summary(df, top_n=5).toPandas().iloc[0]
     assert s["hosts_n"] == 2
     assert s["top1_share_pct"] == pytest.approx(83.3333, abs=0.001)
+
+
+def test_host_extraction_ipv6_lands_in_null_row(spark):
+    from pcornet_data_curation_spark.operators.reports import domain_summary
+
+    rows = [
+        ("https://[2001:db8::1]/x", True),
+        ("https://[::1]:8443/y", True),
+        ("https://real.example.com/z", True),
+    ]
+    df = spark.createDataFrame(rows, "url string, keep boolean")
+    s = domain_summary(df, top_n=5).toPandas().iloc[0]
+    # the two IPv6 urls are NULL-host (not a phantom '[' host)
+    assert s["hosts_n"] == 2 and s["null_host_n"] == 2

@@ -88,15 +88,29 @@ def test_plan_shapes_pinned(spark):
     p = _plan(Q.queries()["stratified_sample"](spark, sf))
     assert "Exchange" not in p
 
-    # minhash banding: the band self-join must NOT carry signatures —
-    # no 'minhash' column in any Exchange above the join
-    from pcornet_data_curation_spark.operators.dedup import minhash_lsh_pairs
+    # minhash banding: the band self-join must NOT carry signatures.
+    # At fixture scale the planner broadcasts the band join (no hash
+    # exchange exists to inspect), so force the shuffle strategy for
+    # the pin — that is the shape a 10^12-doc run takes.
+    from pcornet_data_curation_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_deps,
+    )
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    pairs = minhash_lsh_pairs(docs, threshold=0.8)
-    p = _plan(pairs)
-    join_part = p.split("SortMergeJoin")[0] if "SortMergeJoin" in p else p
-    for line in join_part.splitlines():
-        if "Exchange hashpartitioning" in line and "bhash" in line:
-            assert "minhash" not in line
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = minhash_lsh_pairs(docs, threshold=0.8)
+        p = _plan(pairs)
+        matched = 0
+        for line in p.splitlines():
+            if "Exchange hashpartitioning" in line and "bhash" in line:
+                assert "minhash" not in line
+                matched += 1
+        # fail CLOSED: the band-hash exchange must exist AND be slim
+        assert matched >= 1, "no band-hash exchange in forced-SMJ plan — pin is stale"
+        unpersist_deps(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     from pcornet_data_curation_spark.operators.dedup import unpersist_deps
     unpersist_deps(pairs)
