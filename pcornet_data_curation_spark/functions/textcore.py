@@ -194,7 +194,10 @@ def langid_scores(text: str) -> tuple[str, float]:
 _SENTINEL = 27  # out-of-alphabet id splitting docs in the packed array
 
 
-_PACK_LUT = np.full(256, 26, dtype=np.int64)  # 26 = space bucket
+# int8, not int64: symbol ids fit a byte, and the packed stream is the
+# hot memory traffic of the whole scorer (an int64 LUT turns every text
+# byte into 8 — measurably bandwidth-bound at 32 concurrent workers)
+_PACK_LUT = np.full(256, 26, dtype=np.int8)  # 26 = space bucket
 for _i, _ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
     _PACK_LUT[ord(_ch)] = _i
 _PACK_LUT[0xFF] = _SENTINEL  # doc separator: 0xFF never occurs in UTF-8
@@ -236,12 +239,17 @@ def langid_scores_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
     keep[1:] = ~(is_sp[1:] & is_sp[:-1])
     packed = sym[keep]
     # cumsum of separators = doc index at every non-separator position
-    docs = np.cumsum(packed == _SENTINEL)
+    # (int64 accumulator — doc counts exceed int8)
+    docs = np.cumsum(packed == _SENTINEL, dtype=np.int64)
     a, b, c = packed[:-2], packed[1:-1], packed[2:]
     valid = (a != _SENTINEL) & (b != _SENTINEL) & (c != _SENTINEL)
     if not valid.any():
         return langs_out, conf_out
-    tri = (a[valid] * 27 + b[valid]) * 27 + c[valid]
+    # int32 trigram ids (max 27^3-1 = 19682): same VALUES as the old
+    # int64 math, a quarter of the traffic
+    tri = (
+        a[valid].astype(np.int32) * 27 + b[valid].astype(np.int32)
+    ) * 27 + c[valid].astype(np.int32)
     dbin = docs[:-2][valid]
     # run-length encode (doc, tri) occurrences → per-doc sparse counts.
     # Hash-count + sort over the UNIQUE keys: same (sorted keys, counts)
