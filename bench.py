@@ -308,7 +308,11 @@ def run_scaling(n_docs: int) -> int:
             "local[32]": results[32]["queries"]["curation_pipeline"],
         },
         "host_cpu_scaling_ceiling": ceiling,
-        "host_membw_scaling_ceiling": machine_membw_ceiling(),
+        # an 8-vs-32-process probe (and its ~6 GB of touched buffers)
+        # is meaningless and OOM-prone on a sub-32-core host
+        "host_membw_scaling_ceiling": (
+            machine_membw_ceiling() if (os.cpu_count() or 0) >= 32 else None
+        ),
         "efficiency_vs_host_ceiling": round(eff / ceiling, 3) if ceiling else None,
     }
     print(json.dumps(summary))

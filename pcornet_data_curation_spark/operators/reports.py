@@ -465,23 +465,34 @@ def crosstab(
     ).orderBy(*levels)
 
 
-# hostname only: optional userinfo (up to @) skipped, port (after :)
-# excluded — 'https://u@cdn.example.com:443/x' and
-# 'https://cdn.example.com/y' must count as ONE host or concentration
-# checks can be evaded by port/userinfo variation. The first host char
-# excludes '[' so bracketed IPv6 literals genuinely land in the NULL
-# host row (without it they would all collapse into a phantom '['
-# host, since ':' inside the brackets stops the match).
-HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@\\[][^/?#:@]*)"
+AUTHORITY_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+
+
+def host_col(url_col):
+    """Lowercased hostname of a url, NULL when unparsable.
+
+    Three explicit steps instead of one clever regex (a combined
+    pattern with an optional userinfo group BACKTRACKS on
+    'https://alice@[::1]/' and reports the userinfo as the host):
+    1. authority = everything between :// and /?#;
+    2. strip one userinfo prefix (through the FIRST @ — host can't
+       contain a raw @);
+    3. host = the run before the first ':' — rejected outright when it
+       starts with '[' so bracketed IPv6 literals land in the NULL
+       row rather than a phantom host. Userinfo/port/case variants of
+       one host therefore count as ONE host (concentration checks
+       can't be evaded by url decoration), and userinfo strings
+       (potential credentials) never surface as hostnames."""
+    authority = F.regexp_extract(url_col, AUTHORITY_RE, 1)
+    after_user = F.regexp_replace(authority, "^[^@]*@", "")
+    host_raw = F.regexp_extract(after_user, "^([^:\\[][^:]*)", 1)
+    return F.when(host_raw == "", F.lit(None)).otherwise(F.lower(host_raw))
 
 
 def _host_counts(df: "DataFrame", url_col: str, aggs: list) -> "DataFrame":
     """Shared per-host aggregation core of domain_dist/domain_summary:
-    lowercased hostname (NULL when unparsable) → one groupBy whose
-    partial aggregation absorbs hot hosts map-side."""
-    host_raw = F.regexp_extract(F.col(url_col), HOST_RE, 1)
-    host = F.when(host_raw == "", F.lit(None)).otherwise(F.lower(host_raw))
-    return df.groupBy(host.alias("host")).agg(*aggs)
+    one groupBy whose partial aggregation absorbs hot hosts map-side."""
+    return df.groupBy(host_col(F.col(url_col)).alias("host")).agg(*aggs)
 
 
 def domain_dist(

@@ -74,6 +74,11 @@ def hash_split(
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    bad = {k: v for k, v in splits.items() if not 0.0 < v <= 1.0}
+    if bad:
+        # {'train': 1.5, 'val': -0.5} sums to 1 but silently empties
+        # 'val' — reject out-of-range fractions explicitly
+        raise ValueError(f"split fractions must be in (0, 1], got {bad}")
     u = uniform_hash_col(F.col(id_col), seed)
     expr = None
     acc = 0.0

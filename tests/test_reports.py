@@ -293,3 +293,18 @@ def test_host_extraction_ipv6_lands_in_null_row(spark):
     s = domain_summary(df, top_n=5).toPandas().iloc[0]
     # the two IPv6 urls are NULL-host (not a phantom '[' host)
     assert s["hosts_n"] == 2 and s["null_host_n"] == 2
+
+
+def test_host_extraction_userinfo_with_ipv6_not_phantom(spark):
+    """Backtracking regression: 'https://alice@[::1]/x' must NOT report
+    the userinfo 'alice' as a host — it is an IPv6 origin (NULL row)."""
+    from pcornet_data_curation_spark.operators.reports import domain_summary
+
+    rows = [
+        ("https://alice@[2001:db8::1]/a", True),
+        ("https://bob@[::1]:8443/b", True),
+        ("https://carol@real.example.com/c", True),
+    ]
+    df = spark.createDataFrame(rows, "url string, keep boolean")
+    s = domain_summary(df, top_n=5).toPandas().iloc[0]
+    assert s["hosts_n"] == 2 and s["null_host_n"] == 2  # real host + NULL

@@ -99,6 +99,7 @@ def test_plan_shapes_pinned(spark):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    pairs = None
     try:
         pairs = minhash_lsh_pairs(docs, threshold=0.8)
         p = _plan(pairs)
@@ -109,8 +110,7 @@ def test_plan_shapes_pinned(spark):
                 matched += 1
         # fail CLOSED: the band-hash exchange must exist AND be slim
         assert matched >= 1, "no band-hash exchange in forced-SMJ plan — pin is stale"
-        unpersist_deps(pairs)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    from pcornet_data_curation_spark.operators.dedup import unpersist_deps
-    unpersist_deps(pairs)
+        if pairs is not None:
+            unpersist_deps(pairs)  # even on assertion failure: shared session
