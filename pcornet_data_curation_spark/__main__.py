@@ -88,6 +88,26 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--queries", default=None, help="comma-separated explicit query names")
     q.add_argument("--output", default=None, help="write each result to <output>/<name> (default: noop sink)")
     q.add_argument("--cores", type=int, default=None)
+    c = sub.add_parser(
+        "corpus",
+        help="training-corpus shaping over a curated table: deterministic "
+        "stratified downsampling, train/val/test splitting, token-shard "
+        "packing (each a zero-or-one-shuffle column transform)",
+    )
+    c.add_argument("--input", required=True, help="curated table (parquet dir / table: ref)")
+    c.add_argument("--output", required=True, help="output parquet dir")
+    c.add_argument("--op", required=True, choices=["sample", "split", "pack"])
+    c.add_argument("--id-col", default="url")
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--strata-col", default="lang_pred", help="sample: stratum column")
+    c.add_argument("--rates", default="{}", help="sample: JSON {stratum: keep_rate}")
+    c.add_argument("--default-rate", type=float, default=1.0)
+    c.add_argument("--splits", default='{"train":0.9,"val":0.05,"test":0.05}',
+                   help="split: JSON {name: fraction} summing to 1")
+    c.add_argument("--tokens-col", default="n_tokens", help="pack: token-count column")
+    c.add_argument("--target-tokens", type=int, default=1_000_000)
+    c.add_argument("--part-col", default="bucket", help="pack: shard-partition column")
+    c.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
     from pcornet_data_curation_spark.session import get_spark
@@ -128,6 +148,35 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 counts[name] = df.count()
         print(json.dumps({"part": args.part, "queries_run": len(names), "rows": counts}))
+        return 0
+
+    if args.cmd == "corpus":
+        from pcornet_data_curation_spark.operators.sampling import (
+            hash_split,
+            pack_token_shards,
+            stratified_sample,
+        )
+        from pcornet_data_curation_spark.sources import open_table
+
+        df = open_table(spark, args.input)
+        if args.op == "sample":
+            out = stratified_sample(
+                df, args.strata_col, json.loads(args.rates),
+                default_rate=args.default_rate, id_col=args.id_col, seed=args.seed,
+            )
+        elif args.op == "split":
+            out = hash_split(
+                df, json.loads(args.splits), id_col=args.id_col, seed=args.seed
+            )
+        else:
+            out = pack_token_shards(
+                df, tokens_col=args.tokens_col,
+                target_tokens=args.target_tokens, part_col=args.part_col,
+                order_col=args.id_col,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"op": args.op, "written": args.output, "rows": n}))
         return 0
 
     # run / resume share the same path: run_pipeline consults the

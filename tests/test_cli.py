@@ -84,3 +84,44 @@ def test_cli_csv_export_and_prior(spark, tmp_path, capsys):
     m = spark.read.parquet(os.path.join(out2, "metrics")).toPandas()
     assert m["dc_name"].str.startswith("drift|").any()
     assert (m["dc_name"] == "threshold_trend").any()
+
+
+def test_cli_corpus_ops(spark, tmp_path, capsys):
+    """corpus subcommand: curate a run, then sample / split / pack the
+    curated table from the CLI — the training-data shaping lifecycle."""
+    import json as _json
+    import os
+
+    pages = str(tmp_path / "pages")
+    run = str(tmp_path / "run")
+    assert main(["gen-pages", "--n", "400", "--output", pages, "--cores", "8"]) == 0
+    capsys.readouterr()
+    assert main(["run", "--input", pages, "--output", run, "--buckets", "4",
+                 "--cores", "8"]) == 0
+    capsys.readouterr()
+    cur = os.path.join(run, "curated")
+
+    split_out = str(tmp_path / "split")
+    assert main(["corpus", "--op", "split", "--input", cur, "--output", split_out,
+                 "--cores", "8"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sp = spark.read.parquet(split_out).toPandas()
+    assert res["rows"] == len(sp) and set(sp["split"]) <= {"train", "val", "test"}
+    assert (sp["split"] == "train").mean() > 0.8
+
+    sample_out = str(tmp_path / "sample")
+    assert main(["corpus", "--op", "sample", "--input", cur, "--output", sample_out,
+                 "--rates", '{"en": 0.3}', "--default-rate", "1.0", "--cores", "8"]) == 0
+    capsys.readouterr()
+    sa = spark.read.parquet(sample_out).toPandas()
+    full = spark.read.parquet(cur).toPandas()
+    en_rate = (sa["lang_pred"] == "en").sum() / max((full["lang_pred"] == "en").sum(), 1)
+    assert 0.1 < en_rate < 0.5  # en downsampled near 0.3
+    assert (sa["lang_pred"] != "en").sum() == (full["lang_pred"] != "en").sum()
+
+    pack_out = str(tmp_path / "pack")
+    assert main(["corpus", "--op", "pack", "--input", cur, "--output", pack_out,
+                 "--target-tokens", "2000", "--cores", "8"]) == 0
+    capsys.readouterr()
+    pk = spark.read.parquet(pack_out).toPandas()
+    assert "shard_id" in pk.columns and (pk["shard_id"] >= 0).all()
