@@ -1519,6 +1519,60 @@ SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicate-span REMOVAL (Lee et al. exact-substring dedup as
+    deterministic 25-token blocks): every globally repeated block keeps
+    one occurrence — min (doc_id, block_idx) — and documents are
+    reassembled from their surviving blocks. The one dedup-family
+    operator that EDITS text rather than flagging rows; two keyed
+    shuffles, no self-join, JVM-only."""
+    from pcornet_data_curation_spark.operators.spandedup import block_dedup
+
+    return block_dedup(_t(spark, sf_dir, "documents"), block_tokens=25)
+
+
+SQL_SPAN_DEDUP = f"""
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) = 0 THEN [] ELSE string_split(norm, ' ') END AS t
+  FROM nrm
+),
+bl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []
+              ELSE [{{'idx': i, 'block': array_to_string(t[(i*25+1):(i*25+25)], ' ')}}
+                    FOR i IN range(CAST(ceil(len(t)/25.0) AS BIGINT))]
+         END AS pairs
+  FROM tk
+),
+ex AS (
+  SELECT doc_id, CAST(p.idx AS INT) AS idx, p.block AS block
+  FROM (SELECT doc_id, UNNEST(pairs) AS p FROM bl)
+),
+keep AS (
+  SELECT doc_id, idx, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+  FROM ex
+),
+reb AS (
+  SELECT doc_id,
+         string_agg(block, ' ' ORDER BY idx) AS text_deduped,
+         COUNT(*) AS kept_n
+  FROM keep WHERE rn = 1 GROUP BY doc_id
+)
+SELECT bl.doc_id,
+       COALESCE(reb.text_deduped, '') AS text_deduped,
+       CAST(len(bl.pairs) AS INT) AS blocks_n,
+       CAST(len(bl.pairs) - COALESCE(reb.kept_n, 0) AS BIGINT) AS removed_blocks_n
+FROM bl LEFT JOIN reb USING (doc_id)
+"""
+
+
 def q_pack_token_shards(spark, sf_dir):
     """Token-budget shard packing: assign documents to ~5000-char
     training shards per source, greedily in doc_id order (running-sum
@@ -2209,6 +2263,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "nfc_normalize": (q_nfc_normalize, SQL_NFC_NORMALIZE),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "minhash_lsh_pairs": (q_minhash_pairs, _sql_minhash_pairs),
     "near_dedup_survivors": (q_near_dedup_survivors, _sql_near_dedup_survivors),
@@ -2264,7 +2319,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "langid_heuristic", "dup_line_metrics", "dup_line_metrics_exploded",
         "cross_doc_ngrams", "topgram_repetition", "decontaminate",
         "stratified_sample", "hash_split", "nfc_normalize",
-        "pack_token_shards",
+        "span_dedup", "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",

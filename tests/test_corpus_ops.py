@@ -158,3 +158,41 @@ def test_nfc_normalize_through_spark(spark):
     assert out[1] == out[2] == "café"
     assert out[3] == "ﬁle"
     assert out[4] is None and out[5] == "plain ascii"
+
+
+def test_block_dedup_semantics(spark):
+    """Duplicate-span removal: globally repeated 25-token blocks keep
+    exactly the (min doc_id, min idx) occurrence; within-doc repeats
+    are removed too; untouched docs come back whitespace-normalized;
+    the transform is idempotent."""
+    from pcornet_data_curation_spark.operators.spandedup import block_dedup
+
+    boiler = " ".join(f"w{i}" for i in range(25))       # one exact block
+    uniq_a = " ".join(f"a{i}" for i in range(25))
+    uniq_b = " ".join(f"b{i}" for i in range(10))        # partial tail block
+    rows = [
+        (1, f"{boiler} {uniq_a}"),                       # first occurrence
+        (2, f"{boiler} {uniq_b}"),                       # later doc: boiler removed
+        (3, f"{boiler} {boiler}"),                       # within-doc repeat: all removed
+        (4, "short  doc   here"),                        # < 1 block, ws-normalized
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = block_dedup(df, block_tokens=25).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text_deduped"] == f"{boiler} {uniq_a}"
+    assert out.loc[1, "removed_blocks_n"] == 0
+    assert out.loc[2, "text_deduped"] == uniq_b and out.loc[2, "removed_blocks_n"] == 1
+    assert out.loc[3, "text_deduped"] == "" and out.loc[3, "removed_blocks_n"] == 2
+    assert out.loc[4, "text_deduped"] == "short doc here"
+    for d in (5, 6):
+        assert out.loc[d, "text_deduped"] == "" and out.loc[d, "blocks_n"] == 0
+    # idempotent: running again over the deduped text removes nothing
+    again = block_dedup(
+        spark.createDataFrame(
+            [(int(i), t) for i, t in out["text_deduped"].items()],
+            "doc_id long, text string",
+        ),
+        block_tokens=25,
+    ).toPandas()
+    assert (again["removed_blocks_n"] == 0).all()
