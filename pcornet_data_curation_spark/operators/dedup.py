@@ -284,6 +284,41 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, 'Connected
+    Components in MapReduce and Beyond'): every node connects its
+    strictly-LARGER neighbors to the minimum of its closed
+    neighborhood. One symmetrize + one groupBy(min) + one equi-join."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).dropDuplicates()
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge (larger → smaller);
+    every node connects its smaller-or-equal neighbors AND itself to
+    the minimum of that down-neighborhood."""
+    oriented = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        joined.select("u", F.col("m").alias("v")).dropDuplicates()
+    )
+    return out.where(F.col("u") != F.col("v")).dropDuplicates()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -291,72 +326,63 @@ def connected_components(
     max_iter: int = 50,
 ) -> DataFrame:
     """(node, component) labeling of the undirected near-dup graph —
-    component = min node id reachable. Distributed min-label
-    propagation: each round every node adopts the minimum label in its
-    closed neighborhood (one shuffle per round). Convergence takes
-    O(component diameter) rounds — near-dup clusters are dense (small
-    diameter) so typically <10 rounds, but a pathological chain needs
-    one round per hop; if max_iter rounds pass with labels still
-    changing the function RAISES rather than returning silently
-    under-merged components. The driver loop only checks a scalar
-    convergence count per round — no graph data ever reaches the
-    driver.
+    component = min node id reachable.
+
+    Large-star/small-star alternation (Kiveris et al. 2014): each
+    round rewires the edge set toward a star per component, converging
+    in O(log n) alternations on ANY graph — including the adversarial
+    10⁶-hop chain that cost the previous min-label-propagation
+    implementation one shuffle per hop. Each alternation is a constant
+    number of keyed shuffles over the (shrinking) edge list; no graph
+    data ever reaches the driver (the loop checks one scalar
+    changed-count per round). If max_iter alternations pass without a
+    fixpoint the function RAISES rather than returning silently
+    under-merged components.
     """
-    spark = pairs.sparkSession
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
         .dropDuplicates()
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates()
-    sym = sym.repartition("src").cache()
-    init_labels = labels = (
-        sym.select(F.col("src").alias("node"))
+    # node universe from the ORIGINAL pairs (self-pairs and isolated
+    # nodes must still get a (node, node) label row)
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .where(F.col("node").isNotNull())
         .distinct()
-        .withColumn("component", F.col("node"))
-        .cache()
     )
-    changed = 0
+    # localCheckpoint, not cache: it materializes AND truncates the
+    # logical plan, so lineage stays O(1) per round instead of nesting
+    # every previous round (a deep iterative plan blows up planning and
+    # re-derives the whole loop in any downstream consumer's DAG).
+    edges = edges.localCheckpoint()
+    converged = False
     for _ in range(max_iter):
-        # min over the closed neighborhood {self} ∪ neighbors' labels
-        neigh = (
-            sym.join(labels, sym.dst == labels.node)
-            .select(sym.src.alias("node"), "component")
-        )
-        # localCheckpoint, not cache: it materializes AND truncates the
-        # logical plan, so lineage stays O(1) per round instead of
-        # nesting every previous round (a deep iterative plan blows up
-        # planning/toString and re-derives the whole loop in any
-        # downstream consumer's DAG). Block cleanup is deferred to the
-        # ContextCleaner when the superseded frame is GC'd — the label
-        # table is (node, component) rows only.
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
-    if labels is not init_labels:
-        init_labels.unpersist()  # deterministic release of the seed cache
-    if changed != 0:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # set-equality fixpoint check: both frames are deduped, so
+        # equal counts + empty one-sided difference ⇒ identical sets
+        if new_edges.count() == edges.count():
+            if new_edges.exceptAll(edges).count() == 0:
+                edges = new_edges
+                converged = True
+                break
+        edges = new_edges
+    if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — raise max_iter; returning "
-            "the partial labeling would silently keep duplicates"
+            f"connected_components did not reach a star fixpoint in "
+            f"{max_iter} large-star/small-star alternations — raise "
+            "max_iter; returning the partial labeling would silently "
+            "keep duplicates"
         )
-    return labels
+    # fixpoint edges form stars: every non-root points straight at its
+    # component min; roots appear only on the parent side
+    labels = edges.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    roots = nodes.join(labels, "node", "left_anti").withColumn(
+        "component", F.col("node")
+    )
+    return labels.unionByName(roots)
 
 
 def near_dedup_survivors(
@@ -649,21 +675,34 @@ def embedding_dup_pairs(
         ).cast("int")
         for p in range(n_planes)
     ]
-    bucket = F.concat_ws("", *[b.cast("string") for b in sign_bits]).alias("bucket")
-    base = base.select("_id", "v", bucket)
-    join_cond = (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id"))
-    l, r = base.alias("l"), base.alias("r")
+    # ids-only bucket join (same shape as minhash_lsh_pairs /
+    # simhash_pairs): the self-join shuffles (bucket:int64, _id) rows —
+    # 16 bytes each — NOT the full vector on both sides (768 doubles
+    # ≈ 6 KB/row at production dim, squared inside hot buckets).
+    # Vectors rejoin from the persisted normalized frame once per
+    # surviving candidate pair for the exact-cosine verification.
+    bucket = F.xxhash64(
+        F.concat_ws("", *[b.cast("string") for b in sign_bits])
+    ).alias("bucket")
+    normed = base.persist()
+    buckets = normed.select("_id", bucket)
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id"))
+    ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    cand = cand.join(
+        normed.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(normed.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     dot = F.aggregate(
-        F.zip_with("l.v", "r.v", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    pairs = l.join(r, join_cond).select(
-        F.col("l._id").alias("id_a"),
-        F.col("r._id").alias("id_b"),
-        dot.alias("cosine"),
+    out = (
+        cand.withColumn("cosine", dot)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
-    return pairs.where(F.col("cosine") >= threshold).select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
-    )
+    out._persisted_deps = [normed]  # caller-controlled unpersist (see minhash)
+    return out
 
 
 def embedding_dup_pairs_multiseed(
@@ -687,9 +726,13 @@ def embedding_dup_pairs_multiseed(
     t linear passes — the standard banding trade, same shape as MinHash.
     """
     out = None
+    deps: list[DataFrame] = []
     for seed in seeds:
         p = embedding_dup_pairs(
             df, vec_col, id_col, threshold, n_planes=n_planes, seed=seed, dim=dim
         )
+        deps.extend(getattr(p, "_persisted_deps", []))
         out = p if out is None else out.unionByName(p)
-    return out.dropDuplicates(["id_a", "id_b"])
+    out = out.dropDuplicates(["id_a", "id_b"])
+    out._persisted_deps = deps
+    return out

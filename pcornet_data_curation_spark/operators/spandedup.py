@@ -54,12 +54,22 @@ def block_dedup(
     )
     blocks = F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
     base = df.select(F.col(id_col).alias("_id"), blocks.alias("_blocks"))
-    exploded = base.select("_id", F.posexplode("_blocks").alias("_idx", "_block"))
-    keeper = exploded.groupBy("_block").agg(
+    # group + join key is the 8-byte xxhash64 of the block, not the
+    # ~150-byte block string: halves the shuffle-key bytes and the
+    # compare cost on this operator's hottest exchange. The block text
+    # rides only the exploded side (needed for reassembly); the keeper
+    # side is (hash, min-(id,idx)) only. 64-bit collisions (~n²/2⁶⁵)
+    # would at worst drop a non-duplicate block — negligible at any
+    # realistic corpus size and identical in kind to every hash-dedup
+    # family member here.
+    exploded = base.select(
+        "_id", F.posexplode("_blocks").alias("_idx", "_block")
+    ).withColumn("_bh", F.xxhash64("_block"))
+    keeper = exploded.groupBy("_bh").agg(
         F.min(F.struct(F.col("_id"), F.col("_idx"))).alias("_k")
     )
     survivors = (
-        exploded.join(keeper, "_block")
+        exploded.join(keeper, "_bh")
         .where((F.col("_id") == F.col("_k._id")) & (F.col("_idx") == F.col("_k._idx")))
         .select("_id", "_idx", "_block")
     )

@@ -239,6 +239,30 @@ def dup_line_metrics_exploded(
     )
 
 
+def dup_line_metrics_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hof_lines: int = 4096,
+) -> DataFrame:
+    """Dispatch wrapper: docs with ≤ max_hof_lines lines take the
+    zero-shuffle array-HOF path; longer docs take the linear
+    explode+groupBy twin. Closes the pathological case (a 20k-line doc
+    is 4×10⁸ comparisons in one task under the HOF default; the
+    exploded path is O(lines)) while keeping the common web page —
+    tens to hundreds of lines — shuffle-free. The two branches are
+    value-identical (pytest-pinned), so the union is a pure routing
+    decision; the line-count predicate is a cheap O(len) split that
+    both branches recompute anyway."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines_n = F.size(
+        F.filter(F.transform(F.split(c, "\n"), lambda s: F.trim(s)), lambda s: s != "")
+    )
+    small = dup_line_metrics(df.where(lines_n <= max_hof_lines), text_col, id_col)
+    large = dup_line_metrics_exploded(df.where(lines_n > max_hof_lines), text_col, id_col)
+    return small.unionByName(large)
+
+
 def nfc_normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Unicode NFC normalization (UAX #15) — the canonical-composition
     step most training pipelines apply before tokenization so that

@@ -1280,11 +1280,12 @@ WHERE cc.node IS NULL OR cc.comp = d.doc_id
 
 def q_dup_line_metrics(spark, sf_dir):
     """Gopher-style duplicate-line repetition signal per document
-    (north-star 'repetition n-gram dedup signals'): zero-shuffle array
-    higher-order functions, exact SQL oracle (UNNEST + GROUP BY set
-    algebra)."""
+    (north-star 'repetition n-gram dedup signals'), via the auto-route
+    wrapper: ≤4096-line docs take the zero-shuffle array-HOF path,
+    longer docs the linear explode+groupBy twin — value-identical
+    branches, exact SQL oracle (UNNEST + GROUP BY set algebra)."""
     docs = _t(spark, sf_dir, "documents")
-    return TA.dup_line_metrics(docs)
+    return TA.dup_line_metrics_auto(docs)
 
 
 def q_dup_line_metrics_exploded(spark, sf_dir):

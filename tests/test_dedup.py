@@ -185,6 +185,34 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    """Adversarial 1000-hop chain: min-label propagation needs one
+    shuffle round per hop (1000 rounds); the large-star/small-star
+    alternation must label the whole chain within 20 alternations
+    (O(log n) bound) — max_iter=20 raises on failure."""
+    from pcornet_data_curation_spark.operators.dedup import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs, max_iter=20).toPandas()
+    assert len(got) == n + 1
+    assert (got["component"] == 0).all()
+
+
+def test_connected_components_self_pairs_and_empty(spark):
+    """Self-pairs label themselves; an empty pair set yields an empty
+    labeling (no driver-side crash in the fixpoint loop)."""
+    from pcornet_data_curation_spark.operators.dedup import connected_components
+
+    selfp = spark.createDataFrame([(7, 7), (8, 8)], "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(selfp).collect()}
+    assert got == {7: 7, 8: 8}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+
 def test_near_dedup_survivors(spark, docs):
     from pcornet_data_curation_spark.operators.dedup import near_dedup_survivors
 

@@ -139,3 +139,36 @@ def test_dup_line_metrics_shapes_identical(spark):
     r1 = a[a.doc_id == 1].iloc[0]
     assert r1["lines_n"] == 5 and r1["dup_line_chars"] == 9
     assert a[a.doc_id == 6].iloc[0]["dup_line_frac"] == 1.0
+
+
+def test_dup_line_metrics_auto_routes_long_docs(spark):
+    """The dispatch wrapper must send a 20k-line doc down the linear
+    exploded path (the HOF default would be 4×10⁸ comparisons in one
+    task) and still agree value-for-value with the exploded twin on
+    every doc — short, long, null, empty."""
+    from pcornet_data_curation_spark.operators.textanalysis import (
+        dup_line_metrics_auto,
+        dup_line_metrics_exploded,
+    )
+
+    long_doc = "\n".join(f"line {i % 500}" for i in range(20_000))  # 20k lines, heavy dups
+    rows = [
+        (1, "nav\ncontent a\nnav\nfooter\nnav"),
+        (2, long_doc),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (
+        dup_line_metrics_auto(df, max_hof_lines=1000)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_line_metrics_exploded(df)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd_testing = __import__("pandas.testing", fromlist=["assert_frame_equal"])
+    pd_testing.assert_frame_equal(a, b, check_dtype=True)
+    r2 = a[a.doc_id == 2].iloc[0]
+    assert r2["lines_n"] == 20_000 and r2["distinct_lines_n"] == 500
+    assert r2["dup_line_frac"] == 1.0
