@@ -108,6 +108,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--target-tokens", type=int, default=1_000_000)
     c.add_argument("--part-col", default="bucket", help="pack: shard-partition column")
     c.add_argument("--cores", type=int, default=None)
+    k = sub.add_parser(
+        "check",
+        help="standalone data-check evaluation over an EXISTING run store: "
+        "recompute report staleness from the live manifest at invocation "
+        "time and re-run the full check registry against the stored "
+        "metrics. This is the frame of reference where check 12.02 "
+        "('report older than 7 days') is meaningful — an in-run "
+        "evaluation always sees reports the run itself just refreshed, "
+        "and a left-behind store never writes a new metrics row at all.",
+    )
+    k.add_argument("--output", required=True, help="existing run output root")
+    k.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
     from pcornet_data_curation_spark.session import get_spark
@@ -177,6 +189,58 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"op": args.op, "written": args.output, "rows": n}))
+        return 0
+
+    if args.cmd == "check":
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from pcornet_data_curation_spark.operators.checks import (
+            DEFAULT_CHECKS,
+            run_checks,
+        )
+        from pcornet_data_curation_spark.operators.drift import staleness_metrics
+        from pcornet_data_curation_spark.operators.normalize import assemble_metrics
+        from pcornet_data_curation_spark.plans.checkpoint import Manifest
+
+        manifest_path = os.path.join(args.output, Manifest.FILENAME)
+        with open(manifest_path) as f:
+            manifest_data = json.load(f)
+        stored = spark.read.parquet(os.path.join(args.output, "metrics"))
+        # replace the run-time staleness rows (age_sec ≈ 0 by
+        # construction: the run had just re-marked every report) with
+        # rows computed from the live manifest NOW — the only way the
+        # 7-day-old-store check can observe a left-behind store
+        live = staleness_metrics(manifest_data, _time.time(), spark)
+        metrics = assemble_metrics(
+            [stored.where(F.col("dc_name") != "report_staleness"), live]
+        )
+        exceptions = run_checks(metrics, DEFAULT_CHECKS)
+        fired = [
+            {
+                "check_id": r["check_id"],
+                "description": r["description"],
+                "severity": r["severity"],
+                "observed": r["observed"],
+            }
+            for r in exceptions.where(F.col("exception"))
+            .select("check_id", "description", "severity", "observed")
+            .dropDuplicates(["check_id"])
+            .orderBy("check_id")
+            .collect()
+        ]
+        print(
+            json.dumps(
+                {
+                    "store": args.output,
+                    "checks_evaluated": len(DEFAULT_CHECKS),
+                    "exceptions_n": len(fired),
+                    "exceptions": fired,
+                }
+            )
+        )
         return 0
 
     # run / resume share the same path: run_pipeline consults the

@@ -187,16 +187,34 @@ def _wav_meta(b: bytes) -> dict | None:
 
 
 def _mp3_meta(b: bytes) -> dict | None:
-    """MP3: skip an optional ID3v2 tag (synchsafe size), then parse the
-    first MPEG Layer III frame header (version, bitrate, sample rate,
-    channel mode). Duration is the CBR estimate over the post-tag
-    payload — the same figure fast audio scanners report without
+    """MP3: skip an optional ID3v2 tag (synchsafe size; the v2.4
+    footer flag adds another 10 bytes), resync onto the first 0xFFEx
+    frame sync within a bounded window, then parse the MPEG Layer III
+    frame header (version, bitrate, sample rate, channel mode).
+
+    Duration: when the first frame carries a Xing/Info VBR header its
+    frame count gives the exact figure (frames × samples-per-frame ÷
+    sample rate — the CBR estimate is wrong for VBR files, and the
+    first frame's nominal bitrate is the Xing frame's own, often the
+    lowest table entry); otherwise the CBR estimate over the post-tag
+    payload, the same figure fast audio scanners report without
     walking every frame."""
     off = 0
     if b[:3] == b"ID3" and len(b) >= 10:
         off = 10 + (
             ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
         )
+        if b[5] & 0x10:  # ID3v2.4 footer flag: 10-byte footer after the tag
+            off += 10
+        # bounded resync AFTER a tag only: tolerates padding / a
+        # mis-sized tag by scanning forward for the sync word. Not done
+        # for tagless payloads — scanning 4 KB of arbitrary binary for
+        # an 0xFFEx pattern that also passes the header checks has a
+        # real false-positive rate, while an ID3-tagged payload is
+        # already declared to be an MP3.
+        limit = min(len(b) - 4, off + 4096)
+        while off <= limit and not (b[off] == 0xFF and (b[off + 1] & 0xE0) == 0xE0):
+            off += 1
     if off + 4 > len(b):
         return None
     h = b[off : off + 4]
@@ -215,13 +233,30 @@ def _mp3_meta(b: bytes) -> dict | None:
     sample_rate = rates[sr_idx]
     bitrate = bitrates[br_idx]
     channels = 1 if ((h[3] >> 6) & 0b11) == 0b11 else 2
+    duration = (len(b) - off) * 8 / (bitrate * 1000)
+    kbps = bitrate
+    # Xing (VBR) / Info (CBR, same layout) header: sits after the side
+    # info — MPEG1: 32 B stereo / 17 B mono; MPEG2/2.5: 17 / 9
+    spf = 1152 if version == 0b11 else 576  # Layer III samples per frame
+    if version == 0b11:
+        side = 32 if channels == 2 else 17
+    else:
+        side = 17 if channels == 2 else 9
+    x = off + 4 + side
+    if b[x : x + 4] in (b"Xing", b"Info") and len(b) >= x + 8:
+        flags = int.from_bytes(b[x + 4 : x + 8], "big")
+        if flags & 0x1 and len(b) >= x + 12:  # frame-count field present
+            n_frames = int.from_bytes(b[x + 8 : x + 12], "big")
+            if n_frames > 0:
+                duration = n_frames * spf / sample_rate
+                kbps = round((len(b) - off) * 8 / duration / 1000)
     return {
         "format": "mp3",
         "sample_rate": sample_rate,
         "channels": channels,
         "bits_per_sample": None,
-        "bitrate_kbps": bitrate,
-        "duration_sec": (len(b) - off) * 8 / (bitrate * 1000),
+        "bitrate_kbps": kbps,
+        "duration_sec": duration,
     }
 
 

@@ -200,8 +200,16 @@ def with_near_dup_flag(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     return df.join(dropped, "url", "left").na.fill({"exact_dup": False})
 
 
-def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """The full row-level transform chain (stages 0-5), lazily planned."""
+def curate(
+    pages: DataFrame, cfg: PipelineConfig, precomputed_dedup: bool = False
+) -> DataFrame:
+    """The full row-level transform chain (stages 0-5), lazily planned.
+
+    precomputed_dedup=True: `pages` already carries an exact_dup column
+    (the streaming path computes it with the stateful first-seen
+    operator before curation, streaming/stateful.stream_dedup_flag) —
+    skip the batch flag computation but still honor cfg.dedup's
+    drop-mode keep fold."""
     df = lookback_filter(pages, cfg)
     # consume html AT THE SCAN: extraction_ok is derived here and html
     # dropped immediately, so the wide binary column never rides the
@@ -210,10 +218,13 @@ def curate(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     extraction_ok = (
         extraction_consistent_col() if cfg.check_extraction else F.lit(True)
     )
-    df = df.select(
-        "url", "warc_ts", "text", "lang", extraction_ok.alias("extraction_ok")
-    )
-    if cfg.dedup != "off":
+    keep_cols = ["url", "warc_ts", "text", "lang"]
+    if precomputed_dedup:
+        keep_cols.append("exact_dup")
+    df = df.select(*keep_cols, extraction_ok.alias("extraction_ok"))
+    if precomputed_dedup:
+        pass  # flag already on the rows (streaming stateful dedup)
+    elif cfg.dedup != "off":
         # global dedup BEFORE the (bucket, salt) repartition: the
         # dedup-shuffle output feeds straight into the range
         # partitioner, and the survivor choice (min url) is a pure
@@ -268,6 +279,16 @@ def run_pipeline(
     """
     tracker = tracker or LineageTracker()
     out = cfg.output_root
+    if cfg.prior_run_root and os.path.realpath(cfg.prior_run_root) == os.path.realpath(out):
+        # a prior pointed at this run's own output would lazily read
+        # <out>/metrics while the run overwrite-rewrites that same path
+        # mid-plan — a read-under-overwrite cycle that fails or yields
+        # silently empty drift rows. Natural mistake on resume; reject.
+        raise ValueError(
+            "prior_run_root must reference a DIFFERENT run's output root "
+            f"(got the run's own output {out!r}); drift compares across "
+            "runs, not a run against itself"
+        )
     curated_path = os.path.join(out, "curated")
     manifest = Manifest.load_or_init(out, cfg.n_buckets)
     # staleness is evaluated against the store AS THIS RUN FOUND IT: a
@@ -315,6 +336,14 @@ def run_pipeline(
     # ---- reporting over completed buckets (cheap, column-pruned) ----
     done_buckets = manifest.done_buckets()
     cur = spark.read.parquet(curated_path).where(F.col("bucket").isin(done_buckets))
+    # store-version guard: a store fully curated before the dedup stage
+    # landed has no exact_dup column, and a resume/re-report over it
+    # (all buckets done → curate never rewrites) would otherwise raise
+    # AnalysisException at the first exact_dup reference. Report it as
+    # measured-false with mode 'n/a' instead of refusing the store.
+    legacy_no_dedup = "exact_dup" not in cur.columns
+    if legacy_no_dedup:
+        cur = cur.withColumn("exact_dup", F.lit(False))
 
     reports: dict[str, DataFrame] = {}
     with tracker.stage("report_rule_summary"):
@@ -440,9 +469,10 @@ def run_pipeline(
         # reader knows whether dup_n was measured or the stage was off)
         dup_n = F.sum(F.col("exact_dup").cast("long"))
         total_n = F.count(F.lit(1))
+        dedup_mode = "n/a" if legacy_no_dedup else cfg.dedup
         reports["dedup_summary"] = cur.agg(
-            F.lit(cfg.dedup).alias("mode"),
-            F.lit(cfg.dedup_method if cfg.dedup != "off" else "n/a").alias("method"),
+            F.lit(dedup_mode).alias("mode"),
+            F.lit(cfg.dedup_method if dedup_mode not in ("off", "n/a") else "n/a").alias("method"),
             total_n.alias("records"),
             dup_n.alias("dup_n"),
             F.when(total_n > 0, F.floor(dup_n * 1000000.0 / total_n) / 10000.0)
@@ -540,9 +570,14 @@ def run_pipeline(
         # died-mid-report inconsistency) is only observable on the
         # PRE-RUN snapshot, because this run repairs it; `age_sec`
         # (report older than N days, check 12.02) is about the store
-        # being LEFT BEHIND, so it reads the live manifest after this
-        # run re-marked every report — otherwise an 8-day-old store
-        # would alarm on the very run that just refreshed it
+        # being LEFT BEHIND — a question an in-run evaluation can never
+        # answer in the positive (this run just re-marked every report,
+        # so age_sec ≈ 0 here by construction, and a store nobody runs
+        # never writes a metrics row). The rows below keep the metric's
+        # shape in the table; the MEANINGFUL evaluation is the
+        # standalone `python -m pcornet_data_curation_spark check`
+        # command, which recomputes staleness from the live manifest at
+        # invocation time over an existing store.
         stale_rows = staleness_metrics(pre_run_manifest, pre_run_ts, spark).where(
             F.col("statistic") == "stale"
         )

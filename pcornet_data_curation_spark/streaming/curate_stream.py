@@ -38,20 +38,42 @@ def curate_stream(
     spark: SparkSession, input_dir: str, cfg: PipelineConfig
 ) -> DataFrame:
     """readStream over a parquet directory of pages → curated stream
-    (same columns as the batch curated table)."""
-    if cfg.dedup != "off":
-        # global dedup needs the whole corpus (groupBy + join over all
-        # rows ever seen) — a batch operation by construction. The
-        # streaming counterpart is stateful first-seen suppression.
+    (same columns as the batch curated table).
+
+    cfg.dedup on a stream: the batch stage's corpus-wide groupBy+join
+    cannot run on an unbounded stream, so the flag is computed by the
+    stateful first-seen operator instead (stream_dedup_flag: state =
+    one boolean per fingerprint, survivor = first arrival rather than
+    the batch stage's global min url — see its docstring). 'flag'
+    records exact_dup; 'drop' additionally folds it into keep inside
+    curate — identical downstream semantics to the batch pipeline.
+    Near-dup mode stays batch-only: MinHash banding + connected
+    components need corpus-wide self-joins with no bounded-state
+    streaming equivalent.
+    """
+    if cfg.dedup != "off" and cfg.dedup_method == "near":
         raise ValueError(
-            "cfg.dedup is a batch-only stage; for streams use "
-            "streaming.stateful.stream_dedup_first_seen"
+            "dedup_method='near' is batch-only (corpus-wide LSH banding "
+            "+ connected components); streams support exact first-seen "
+            "dedup — use dedup_method='exact'"
         )
     stream = (
         spark.readStream.schema(PAGES_DDL)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
+    if cfg.dedup != "off":
+        from pcornet_data_curation_spark.plans.pipeline import lookback_filter
+        from pcornet_data_curation_spark.streaming.stateful import stream_dedup_flag
+
+        # lookback BEFORE dedup, matching the batch stage order — a
+        # pre-lookback row must not consume a fingerprint's first-seen
+        # slot (curate re-applies the filter; it is idempotent)
+        return curate(
+            stream_dedup_flag(lookback_filter(stream, cfg)),
+            cfg,
+            precomputed_dedup=True,
+        )
     return curate(stream, cfg)
 
 

@@ -91,6 +91,64 @@ def stream_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_FLAG_OUT_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "exact_dup boolean"
+)
+
+
+def stream_dedup_flag(pages_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch exact-dedup stage (pipeline
+    `with_exact_dup_flag`), wired for curate_stream: every page row
+    passes through keyed by its whitespace/case-normalized content
+    fingerprint; the FIRST arrival of each fingerprint survives
+    (exact_dup=False) and every later arrival is flagged
+    exact_dup=True. Within one micro-batch "first" is deterministic —
+    min (warc_ts, url); across batches it is arrival order. State per
+    fingerprint is one boolean — O(distinct docs) cluster-wide, sharded
+    by the groupBy key, the same fp-keyed co-location the batch
+    stage's groupBy+join pays.
+
+    Documented divergence from the batch stage (which picks the global
+    MINIMUM url as survivor): an append-mode stream cannot retro-flag
+    an already-emitted row when a lexicographically-smaller url arrives
+    later, so the streaming survivor is first-seen. Everything
+    downstream (dedup_summary counts, drop-mode keep fold) is
+    method-agnostic over the flag.
+    """
+    ws = "[ \\t\\n\\r\\f\\x0B]+"
+    fp = F.xxhash64(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), ws, " ")))
+    )
+    keyed = pages_stream.withColumn("_fp", fp)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
+    def flag(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # one fingerprint's rows within one micro-batch: concat the
+        # Arrow chunks (bounded by the duplicate multiplicity of a
+        # single document) so "first" is the batch-global minimum
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["warc_ts", "url"], na_position="last")
+        out = pdf[cols].copy()
+        out["exact_dup"] = True
+        if not state.exists:
+            out.iloc[0, out.columns.get_loc("exact_dup")] = False
+            state.update((True,))
+        yield out
+
+    return keyed.groupBy("_fp").applyInPandasWithState(
+        flag,
+        outputStructType=DEDUP_FLAG_OUT_DDL,
+        stateStructType=DEDUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSION_OUT_DDL = (
     "user_id long, session_start timestamp, session_end timestamp, events_n long"
 )
@@ -117,21 +175,21 @@ def stream_sessionize(
 
     Out-of-order handling (events arriving in a LATER micro-batch with
     ts at or before the open session's last event — the case
-    watermarks exist for):
-
-    * within the open session's span, or within `gap` of its start:
-      MERGE — start = min(start, t), last = max(last, t), n += 1; the
-      gap test always compares against the running max, so a late
-      event never regresses the session or splits it spuriously;
-    * more than `gap` BEFORE the open session's start: it can never
-      merge, so it forms its own (possibly multi-event) session and
-      emits at the end of the batch.
+    watermarks exist for): the batch's sorted events and the open
+    session's (start, last, n) interval are gap-merged TOGETHER as one
+    time-ordered interval sequence — the standard transitive merge, so
+    a batch like [40, 60] against an open session starting at 100 with
+    gap 50 correctly chains 40–60–100 into one session instead of
+    stranding 40 as a spurious early session (40 is within gap of 60,
+    60 within gap of 100). The final (latest) merged interval stays
+    open in state; every earlier merged interval ends more than `gap`
+    before the open one's start and emits at the end of the batch.
 
     Residual divergences from the batch twin (which sorts the complete
     log globally): (a) a late event landing within `gap` of a session
     that was ALREADY emitted in an earlier batch emits as a separate
     session rather than re-opening it — append-mode output is
-    immutable; (b) the early-session emission in the second rule
+    immutable; (b) a non-final merged interval emitted at batch end
     cannot merge with yet-later arrivals. Both affect only events
     later than their neighbors by more than a micro-batch, and never
     lose events.
@@ -169,44 +227,28 @@ def stream_sessionize(
             .astype("int64")
             .to_numpy()
         )
+        # transitive gap-merge: treat the open session's (start, last)
+        # as one more interval, merge-ordered with the sorted batch
+        # events, then run the standard interval gap-merge over the
+        # combined sequence. This is what the batch twin computes over
+        # a complete sorted log, so a late run that CHAINS up to the
+        # open session (e.g. [40, 60] against start=100, gap=50) merges
+        # instead of stranding a spurious early session.
+        items: list[tuple[int, int, int]] = [(int(t), int(t), 1) for t in ts]
         if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = None
-            n = 0
-        closed = []
-        # run of late events > gap BEFORE the open session's start: they
-        # can never merge with it; batch-sorted order means they are a
-        # contiguous prefix of ts, so one builder suffices
-        early = None
-        for t in ts:
-            t = int(t)
-            if start is not None and t < start - gap_us:
-                if early is None:
-                    early = [t, t, 1]
-                elif t - early[1] > gap_us:
-                    closed.append(tuple(early))
-                    early = [t, t, 1]
-                else:
-                    early[1] = t
-                    early[2] += 1
-                continue
-            if start is None:
-                start, last, n = t, t, 1
-            elif t > last + gap_us:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
+            items.append(tuple(state.get))
+            items.sort()
+        merged: list[list[int]] = [list(items[0])]
+        for s, e, nn in items[1:]:
+            cur = merged[-1]
+            if s <= cur[1] + gap_us:
+                if e > cur[1]:
+                    cur[1] = e
+                cur[2] += nn
             else:
-                # merge: a late event extends the session backwards or
-                # lands inside it; last only ever moves FORWARD, so the
-                # gap test above always compares against the running max
-                if t < start:
-                    start = t
-                if t > last:
-                    last = t
-                n += 1
-        if early is not None:
-            closed.append(tuple(early))
+                merged.append([s, e, nn])
+        closed = [tuple(iv) for iv in merged[:-1]]
+        start, last, n = merged[-1]
         state.update((start, last, n))
         # event-time timeout: fires when the watermark passes the gap
         state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)

@@ -125,3 +125,57 @@ def test_cli_corpus_ops(spark, tmp_path, capsys):
     capsys.readouterr()
     pk = spark.read.parquet(pack_out).toPandas()
     assert "shard_id" in pk.columns and (pk["shard_id"] >= 0).all()
+
+
+def test_cli_check_standalone_fires_age_on_left_behind_store(spark, tmp_path, capsys):
+    """Standalone `check` over an existing store: staleness is
+    recomputed from the LIVE manifest at invocation time, so a store
+    whose reports were written >7 days ago fires 12.02 — the scenario
+    an in-run evaluation can never observe (ADVICE r3: in-run age_sec
+    is ~0 by construction because the run just re-marked every
+    report). Fresh store → no 12.x exceptions."""
+    import os
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "store")
+    assert main(["gen-pages", "--n", "300", "--output", pages, "--cores", "8"]) == 0
+    assert main(["run", "--input", pages, "--output", out, "--buckets", "4",
+                 "--cores", "8"]) == 0
+    capsys.readouterr()
+
+    assert main(["check", "--output", out, "--cores", "8"]) == 0
+    fresh = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fresh["checks_evaluated"] >= 54
+    assert not any(e["check_id"].startswith("12.") for e in fresh["exceptions"])
+
+    # age the whole store 8 days: buckets AND reports (a consistent
+    # left-behind store, not a died-mid-report one)
+    mp = os.path.join(out, "_manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    for info in list(m["reports"].values()) + list(m["buckets"].values()):
+        info["finished_at"] -= 8 * 86400
+    with open(mp, "w") as f:
+        json.dump(m, f)
+
+    assert main(["check", "--output", out, "--cores", "8"]) == 0
+    aged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fired = {e["check_id"] for e in aged["exceptions"]}
+    assert "12.02" in fired
+    # uniformly-aged store: reports are not older than data → not stale
+    assert "12.01" not in fired
+
+
+def test_cli_prior_equal_to_output_rejected(spark, tmp_path, capsys):
+    """--prior pointing at the run's own output root is a
+    read-under-overwrite cycle (the lazy prior-metrics read races the
+    metrics overwrite); the pipeline must refuse it up front."""
+    import pytest
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "store")
+    assert main(["gen-pages", "--n", "200", "--output", pages, "--cores", "8"]) == 0
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="prior_run_root"):
+        main(["run", "--input", pages, "--output", out, "--buckets", "2",
+              "--cores", "8", "--prior", out])

@@ -140,9 +140,11 @@ def wav_bytes(sample_rate=44100, channels=2, bits=16, seconds=1.5, junk_chunk=Tr
 
 
 def mp3_bytes(version="v1", bitrate_kbps=128, sample_rate=44100, mono=False,
-              id3=True, payload_len=4000):
-    """An MP3 with an optional ID3v2 tag followed by a real MPEG
-    Layer III frame header encoding the requested parameters."""
+              id3=True, payload_len=4000, footer=False, xing_frames=None):
+    """An MP3 with an optional ID3v2 tag (optionally footer-flagged,
+    ID3v2.4 §3.1 bit 4 of the flags byte) followed by a real MPEG
+    Layer III frame header encoding the requested parameters,
+    optionally carrying a Xing VBR header with a frame count."""
     rate_idx = {44100: 0, 48000: 1, 32000: 2, 22050: 0, 24000: 1, 16000: 2}[sample_rate]
     if version == "v1":
         ver_bits, table = 0b11, [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
@@ -153,13 +155,29 @@ def mp3_bytes(version="v1", bitrate_kbps=128, sample_rate=44100, mono=False,
     b2 = 0xE0 | (ver_bits << 3) | (0b01 << 1) | 1  # Layer III, no CRC
     b3 = (br_idx << 4) | (rate_idx << 2)
     b4 = (0b11 if mono else 0b01) << 6
-    frame = bytes([b1, b2, b3, b4]) + b"\x00" * (payload_len - 4)
+    body = b"\x00" * (payload_len - 4)
+    if xing_frames is not None:
+        # Xing sits after the side info: MPEG1 32 B stereo / 17 B mono,
+        # MPEG2 17 / 9
+        if version == "v1":
+            side = 17 if mono else 32
+        else:
+            side = 9 if mono else 17
+        xing = b"\x00" * side + b"Xing" + (1).to_bytes(4, "big") + int(
+            xing_frames
+        ).to_bytes(4, "big")
+        body = xing + b"\x00" * (payload_len - 4 - len(xing))
+    frame = bytes([b1, b2, b3, b4]) + body
     if not id3:
         return frame
     tag_body_len = 100
     sync = bytes([(tag_body_len >> 21) & 0x7F, (tag_body_len >> 14) & 0x7F,
                   (tag_body_len >> 7) & 0x7F, tag_body_len & 0x7F])
-    return b"ID3\x04\x00\x00" + sync + b"\x00" * tag_body_len + frame
+    flags = 0x10 if footer else 0x00
+    tag = b"ID3\x04\x00" + bytes([flags]) + sync + b"\x00" * tag_body_len
+    if footer:
+        tag += b"3DI\x04\x00" + bytes([flags]) + sync  # 10-byte footer
+    return tag + frame
 
 
 def test_decode_real_audio_headers():
@@ -184,6 +202,46 @@ def test_decode_real_audio_headers():
     m = decode_audio_meta(mp3_bytes(version="v2", bitrate_kbps=64,
                                     sample_rate=22050, mono=True, id3=False))
     assert (m["sample_rate"], m["channels"], m["bitrate_kbps"]) == (22050, 1, 64)
+
+
+def test_decode_mp3_id3v24_footer(sample_rate=44100):
+    """ADVICE r3: a footer-flagged ID3v2.4 tag puts the first frame 10
+    bytes past the synchsafe size; decode must still parse it."""
+    from pcornet_data_curation_spark.operators.multimodal import decode_audio_meta
+
+    m = decode_audio_meta(mp3_bytes(version="v1", bitrate_kbps=128,
+                                    sample_rate=sample_rate, footer=True))
+    assert (m["format"], m["sample_rate"], m["bitrate_kbps"], m["decode_ok"]) == (
+        "mp3", sample_rate, 128, True)
+
+
+def test_decode_mp3_vbr_xing_duration():
+    """Task r3#9: a Xing frame-count header overrides the CBR duration
+    estimate — 1000 MPEG1 Layer III frames at 44.1 kHz is 1000×1152/
+    44100 ≈ 26.12 s regardless of the first frame's nominal bitrate,
+    and the reported bitrate becomes the measured average."""
+    import pytest as _pytest
+
+    from pcornet_data_curation_spark.operators.multimodal import decode_audio_meta
+
+    raw = mp3_bytes(version="v1", bitrate_kbps=128, sample_rate=44100,
+                    payload_len=16000, xing_frames=1000)
+    m = decode_audio_meta(raw)
+    assert m["decode_ok"]
+    assert m["duration_sec"] == _pytest.approx(1000 * 1152 / 44100, rel=1e-6)
+    assert m["bitrate_kbps"] == round(16000 * 8 / (1000 * 1152 / 44100) / 1000)
+    # mono MPEG2: 9-byte side info, 576 samples/frame
+    raw = mp3_bytes(version="v2", bitrate_kbps=64, sample_rate=22050,
+                    mono=True, id3=False, xing_frames=500)
+    m = decode_audio_meta(raw)
+    assert m["duration_sec"] == _pytest.approx(500 * 576 / 22050, rel=1e-6)
+    # Info (CBR) tag without frame-count flag → CBR estimate retained
+    raw = bytearray(mp3_bytes(version="v1", bitrate_kbps=128, sample_rate=44100,
+                              payload_len=16000, xing_frames=7))
+    i = raw.index(b"Xing")
+    raw[i:i + 8] = b"Info" + (0).to_bytes(4, "big")
+    m = decode_audio_meta(bytes(raw))
+    assert m["duration_sec"] == _pytest.approx(16000 * 8 / 128000, rel=1e-6)
 
 
 def test_decode_non_audio_and_truncated():

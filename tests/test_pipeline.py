@@ -468,3 +468,30 @@ def test_staleness_check_fires_on_resume_after_died_mid_report(spark, tmp_path):
     m3 = spark.read.parquet(res3["metrics"]).toPandas()
     stale3 = m3[(m3.dc_name == "report_staleness") & (m3.statistic == "stale")]
     assert (stale3.resultn == 0.0).all()
+
+
+def test_resume_over_legacy_store_without_exact_dup(spark, tmp_path):
+    """Store-version guard (ADVICE r3): a store fully curated before
+    the dedup stage existed has no exact_dup column; a re-report over
+    it (all buckets done, curate never rewrites) must not raise — the
+    dedup_summary reports mode 'n/a' with dup_n measured as 0."""
+    import shutil
+
+    out = str(tmp_path / "o")
+    pages = pages_df(spark, 200, partitions=2)
+    run_pipeline(spark, pages, PipelineConfig(output_root=out, n_buckets=4))
+
+    # simulate the pre-dedup store: strip exact_dup from the curated
+    # parquet (write aside, then swap directories)
+    cur_path = os.path.join(out, "curated")
+    legacy = spark.read.parquet(cur_path).drop("exact_dup")
+    tmp_cur = str(tmp_path / "curated_legacy")
+    legacy.write.partitionBy("bucket").parquet(tmp_cur)
+    shutil.rmtree(cur_path)
+    shutil.move(tmp_cur, cur_path)
+
+    res = run_pipeline(spark, pages, PipelineConfig(output_root=out, n_buckets=4))
+    assert res["stats"]["buckets_processed_now"] == 0  # pure re-report
+    ds = spark.read.parquet(os.path.join(out, "reports", "dedup_summary")).toPandas()
+    assert ds["mode"].tolist() == ["n/a"] and ds["method"].tolist() == ["n/a"]
+    assert ds["dup_n"].tolist() == [0]

@@ -185,20 +185,42 @@ def test_ivf_partitioned_table_prunes_scan(spark, tmp_path):
         with_ivf_cell,
     )
 
+    from pyspark.sql import functions as F
+
+    from pcornet_data_curation_spark.operators.similarity import (
+        ivf_load,
+        ivf_probe_cells,
+        ivf_save,
+    )
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    cents = ivf_fit(emb, n_centroids=8)
+    qpath = str(tmp_path / "quantizer.parquet")
+    ivf_save(ivf_fit(emb, n_centroids=8), qpath)
+    cents = ivf_load(qpath)  # the fit-once / reuse-everywhere lifecycle
     path = str(tmp_path / "ivf_store")
     with_ivf_cell(emb, cents).write.partitionBy("ivf_cell").parquet(path)
     store = spark.read.parquet(path)
     q = [1.0] * 64
-    plan = (
-        ivf_topk(store, q, cents, k=5, n_probe=2)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    topk = ivf_topk(store, q, cents, k=5, n_probe=2)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "ivf_cell" in pf[0]  # pruning predicate reached the scan
-    got = ivf_topk(store, q, cents, k=5, n_probe=2).toPandas()
+    got = topk.toPandas()
     assert len(got) == 5
+    # the probe reads ONLY the n_probe cells' files: every file feeding
+    # the probed scan lives under one of the two probed ivf_cell= dirs
+    probe = ivf_probe_cells(cents, q, 2)
+    files = (
+        store.where(F.col("ivf_cell").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .toPandas()["f"]
+    )
+    assert len(files) > 0
+    assert all(any(f"ivf_cell={c}/" in f for c in probe) for f in files)
+    # and the store exposes every cell, so the probe subset is strict
+    all_cells = {r["ivf_cell"] for r in store.select("ivf_cell").distinct().collect()}
+    assert len(all_cells) > 2
 
 
 def test_ivf_save_load_roundtrip(spark, tmp_path):

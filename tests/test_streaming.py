@@ -219,6 +219,62 @@ def test_stream_sessionize_late_events_merge(spark, tmp_path):
     assert (got["session_end"] >= got["session_start"]).all()
 
 
+def test_stream_sessionize_late_chain_transitive_merge(spark, tmp_path):
+    """ADVICE r3 regression: a late run that CHAINS up to the open
+    session must merge transitively. Open session start=m(100),
+    gap=30; batch 2 delivers [55, 80]. The old per-event
+    classification saw 55 < 100-30 and stranded it as a spurious
+    early session BEFORE 80 merged and pulled start down — but
+    55–80–100 is one session (each hop ≤ gap), exactly what the
+    batch-sorted twin computes. The combined interval gap-merge must
+    produce a single (55, 100, 3) session and no early emission."""
+    import datetime as dt
+
+    from pcornet_data_curation_spark.streaming.stateful import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    indir = str(tmp_path / "ev_in")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(batch_rows):
+        spark.createDataFrame(
+            [(1, m(x)) for x in batch_rows], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(indir)
+        q = (
+            stream_sessionize(
+                spark.readStream.schema("user_id long, ts timestamp").parquet(indir),
+                gap_minutes=30,
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain([100])      # open (100,100,1)
+    drain([55, 80])   # late chain: merges transitively -> open (55,100,3)
+    drain([200])      # >gap after 100: closes (55,100,3), opens (200)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    mins = lambda c: [(x - t0).total_seconds() / 60 for x in got[c]]
+    assert mins("session_start") == [55.0]
+    assert mins("session_end") == [100.0]
+    assert got["events_n"].tolist() == [3]
+
+
 def test_stream_metrics_observed_per_batch(spark, tmp_path):
     """observe() metrics: one row per micro-batch in stream_metrics,
     whose sums equal the sink's actual record/keep/scrub counts — the
@@ -242,10 +298,81 @@ def test_stream_metrics_observed_per_batch(spark, tmp_path):
     # batch ids are unique (exactly-once accounting)
     assert metrics["batch_id"].is_unique
 
-    # dedup is batch-only on streams: clear error, not silent wrong data
+    # exact dedup is now stream-supported (stateful first-seen,
+    # test_stream_curate_with_dedup_flag_and_drop); only NEAR-dup mode
+    # remains batch-only: clear error, not silent wrong data
     import pytest as _pytest
 
     from pcornet_data_curation_spark.streaming import curate_stream
     with _pytest.raises(ValueError, match="batch-only"):
         curate_stream(spark, indir, PipelineConfig(
-            output_root=str(tmp_path / "x"), dedup="flag"))
+            output_root=str(tmp_path / "x"), dedup="flag", dedup_method="near"))
+
+
+def test_stream_curate_with_dedup_flag_and_drop(spark, tmp_path):
+    """cfg.dedup wired into the stream (r3 task #8): the stateful
+    first-seen operator flags duplicate content across micro-batches;
+    'drop' additionally folds the flag into keep inside curate — the
+    batch stage's downstream semantics with a first-seen survivor."""
+    import datetime as dt
+
+    import pytest
+
+    from pcornet_data_curation_spark.streaming.curate_stream import curate_stream
+
+    t = dt.datetime(2026, 1, 1, 12, 0, 0)
+    body = ("genuinely substantive sentence " * 30).strip()
+    rows1 = [
+        (f"https://ex.com/a", t, None, body, "en"),
+        (f"https://ex.com/b", t, None, body + " variant two distinct", "en"),
+    ]
+    rows2 = [
+        (f"https://ex.com/c", t, None, body, "en"),          # dup of /a, later batch
+        (f"https://ex.com/d", t, None, "tiny.", "en"),       # unique, fails rules
+    ]
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(rows, cfg):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(indir)
+        q = (
+            curate_stream(spark, indir, cfg)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "o"), n_buckets=4, dedup="drop")
+    drain(rows1, cfg)
+    drain(rows2, cfg)
+
+    got = spark.read.parquet(out).toPandas().set_index("url")
+    assert not got.loc["https://ex.com/a", "exact_dup"]      # first seen survives
+    assert got.loc["https://ex.com/c", "exact_dup"]          # cross-batch duplicate
+    assert not got.loc["https://ex.com/b", "exact_dup"]
+    assert not got.loc["https://ex.com/d", "exact_dup"]
+    assert not got.loc["https://ex.com/c", "keep"]           # drop folds into keep
+    # the survivor's verdict matches the batch pipeline's rule verdict
+    # for the same content (dedup never changes a survivor's keep)
+    batch = (
+        curate(
+            spark.createDataFrame(rows1 + rows2, ddl),
+            PipelineConfig(output_root=str(tmp_path / "b"), n_buckets=4),
+        )
+        .toPandas()
+        .set_index("url")
+    )
+    assert got.loc["https://ex.com/a", "keep"] == batch.loc["https://ex.com/a", "keep"]
+
+    # near-dup mode on a stream is refused loudly
+    with pytest.raises(ValueError, match="batch-only"):
+        curate_stream(
+            spark, indir,
+            PipelineConfig(output_root=str(tmp_path / "o2"), n_buckets=4,
+                           dedup="drop", dedup_method="near"),
+        )
