@@ -218,6 +218,9 @@ def main(argv: list[str] | None = None) -> int:
             [stored.where(F.col("dc_name") != "report_staleness"), live]
         )
         exceptions = run_checks(metrics, DEFAULT_CHECKS)
+        # one row per check, deterministically: a check firing for
+        # several categories (e.g. 12.02 per report) reports its WORST
+        # observed value, not whichever row a shuffle delivered first
         fired = [
             {
                 "check_id": r["check_id"],
@@ -226,8 +229,8 @@ def main(argv: list[str] | None = None) -> int:
                 "observed": r["observed"],
             }
             for r in exceptions.where(F.col("exception"))
-            .select("check_id", "description", "severity", "observed")
-            .dropDuplicates(["check_id"])
+            .groupBy("check_id", "description", "severity")
+            .agg(F.max("observed").alias("observed"))
             .orderBy("check_id")
             .collect()
         ]

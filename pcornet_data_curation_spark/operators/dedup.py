@@ -346,29 +346,35 @@ def connected_components(
         .dropDuplicates()
     )
     # node universe from the ORIGINAL pairs (self-pairs and isolated
-    # nodes must still get a (node, node) label row)
+    # nodes must still get a (node, node) label row). localCheckpointed
+    # so the RETURNED labeling is self-contained: both callers release
+    # the pairing operator's caches (unpersist_deps) right after this
+    # function returns, and a lazy `nodes` would re-execute the whole
+    # uncached MinHash/banding plan on every downstream action.
     nodes = (
         pairs.select(F.col(id_a).alias("node"))
         .unionByName(pairs.select(F.col(id_b).alias("node")))
         .where(F.col("node").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     # localCheckpoint, not cache: it materializes AND truncates the
     # logical plan, so lineage stays O(1) per round instead of nesting
     # every previous round (a deep iterative plan blows up planning and
     # re-derives the whole loop in any downstream consumer's DAG).
     edges = edges.localCheckpoint()
+    n_edges = edges.count()
     converged = False
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
         # set-equality fixpoint check: both frames are deduped, so
         # equal counts + empty one-sided difference ⇒ identical sets
-        if new_edges.count() == edges.count():
-            if new_edges.exceptAll(edges).count() == 0:
-                edges = new_edges
-                converged = True
-                break
-        edges = new_edges
+        if n_new == n_edges and new_edges.exceptAll(edges).count() == 0:
+            edges = new_edges
+            converged = True
+            break
+        edges, n_edges = new_edges, n_new
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach a star fixpoint in "
@@ -590,6 +596,19 @@ def _dup_pairs_block_matmul(
     return work.groupBy("pair_idx").applyInPandas(compute, _PAIR_DDL)
 
 
+def _normalize_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(_id, v) with v L2-normalized — one projection, shared by the
+    exact grid, the sign-LSH path, and the multiseed union (which
+    persists it ONCE for all seed tables)."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    return base.withColumn("_n", nrm).select(
+        "_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -630,11 +649,7 @@ def embedding_dup_pairs(
     Vectors are L2-normalized up front in both paths (one projection),
     so the pair stage computes a single dot product.
     """
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
-    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    base = base.withColumn("_n", nrm).select(
-        "_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
-    )
+    base = _normalize_vectors(df, vec_col, id_col)
     if n_planes == 0:
         n = base.count()
         if max_exact_rows and n > max_exact_rows:
@@ -659,6 +674,25 @@ def embedding_dup_pairs(
         return _dup_pairs_block_matmul(base, threshold, block_size, n=n)
     if dim is None:
         dim = len(base.select("v").first()["v"])
+    normed = base.persist()
+    out = _sign_lsh_pairs(normed, dim, n_planes, seed, threshold)
+    out._persisted_deps = [normed]  # caller-controlled unpersist (see minhash)
+    return out
+
+
+def _sign_lsh_pairs(
+    normed: DataFrame, dim: int, n_planes: int, seed: int, threshold: float
+) -> DataFrame:
+    """One sign-LSH table over a PERSISTED normalized (_id, v) frame —
+    shared by embedding_dup_pairs (one table) and
+    embedding_dup_pairs_multiseed (one normalize+persist, t tables).
+
+    ids-only bucket join (same shape as minhash_lsh_pairs /
+    simhash_pairs): the self-join shuffles (bucket:int64, _id) rows —
+    16 bytes each — NOT the full vector on both sides (768 doubles
+    ≈ 6 KB/row at production dim, squared inside hot buckets).
+    Vectors rejoin from the persisted normalized frame once per
+    surviving candidate pair for the exact-cosine verification."""
     planes = H.hyperplane_signs(dim, n_planes, seed)
     sign_bits = [
         (
@@ -675,16 +709,9 @@ def embedding_dup_pairs(
         ).cast("int")
         for p in range(n_planes)
     ]
-    # ids-only bucket join (same shape as minhash_lsh_pairs /
-    # simhash_pairs): the self-join shuffles (bucket:int64, _id) rows —
-    # 16 bytes each — NOT the full vector on both sides (768 doubles
-    # ≈ 6 KB/row at production dim, squared inside hot buckets).
-    # Vectors rejoin from the persisted normalized frame once per
-    # surviving candidate pair for the exact-cosine verification.
     bucket = F.xxhash64(
         F.concat_ws("", *[b.cast("string") for b in sign_bits])
     ).alias("bucket")
-    normed = base.persist()
     buckets = normed.select("_id", bucket)
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = l.join(
@@ -696,13 +723,11 @@ def embedding_dup_pairs(
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    out = (
+    return (
         cand.withColumn("cosine", dot)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
-    out._persisted_deps = [normed]  # caller-controlled unpersist (see minhash)
-    return out
 
 
 def embedding_dup_pairs_multiseed(
@@ -725,14 +750,13 @@ def embedding_dup_pairs_multiseed(
     every candidate is exact-cosine verified inside its bucket. Cost is
     t linear passes — the standard banding trade, same shape as MinHash.
     """
+    normed = _normalize_vectors(df, vec_col, id_col).persist()
+    if dim is None:
+        dim = len(normed.select("v").first()["v"])
     out = None
-    deps: list[DataFrame] = []
     for seed in seeds:
-        p = embedding_dup_pairs(
-            df, vec_col, id_col, threshold, n_planes=n_planes, seed=seed, dim=dim
-        )
-        deps.extend(getattr(p, "_persisted_deps", []))
+        p = _sign_lsh_pairs(normed, dim, n_planes, seed, threshold)
         out = p if out is None else out.unionByName(p)
     out = out.dropDuplicates(["id_a", "id_b"])
-    out._persisted_deps = deps
+    out._persisted_deps = [normed]  # ONE cache for all t seed tables
     return out

@@ -215,9 +215,14 @@ def curate(
     # dropped immediately, so the wide binary column never rides the
     # (bucket, salt) shuffle or the Arrow round-trip of the scoring UDF
     # (measured: carrying it through cost ~3x on the curation pass)
-    extraction_ok = (
-        extraction_consistent_col() if cfg.check_extraction else F.lit(True)
-    )
+    if "extraction_ok" in df.columns:
+        # already derived upstream (the streaming dedup path consumes
+        # html BEFORE its stateful shuffle, same rule as this scan)
+        extraction_ok = F.col("extraction_ok")
+    elif cfg.check_extraction:
+        extraction_ok = extraction_consistent_col()
+    else:
+        extraction_ok = F.lit(True)
     keep_cols = ["url", "warc_ts", "text", "lang"]
     if precomputed_dedup:
         keep_cols.append("exact_dup")
@@ -339,11 +344,29 @@ def run_pipeline(
     # store-version guard: a store fully curated before the dedup stage
     # landed has no exact_dup column, and a resume/re-report over it
     # (all buckets done → curate never rewrites) would otherwise raise
-    # AnalysisException at the first exact_dup reference. Report it as
-    # measured-false with mode 'n/a' instead of refusing the store.
+    # AnalysisException at the first exact_dup reference. A MIXED store
+    # (legacy buckets + buckets this code wrote) needs per-file schema
+    # merging — the default read takes ONE file footer's schema, so
+    # whichever vintage wins would either mask real flags to false or
+    # silently null legacy rows. mergeSchema is paid only when the
+    # default read looks legacy (rare, footer-bounded); legacy rows'
+    # NULL flags coalesce to measured-false either way.
     legacy_no_dedup = "exact_dup" not in cur.columns
     if legacy_no_dedup:
-        cur = cur.withColumn("exact_dup", F.lit(False))
+        merged = spark.read.option("mergeSchema", "true").parquet(curated_path).where(
+            F.col("bucket").isin(done_buckets)
+        )
+        if "exact_dup" in merged.columns:  # mixed store: real flags exist
+            cur = merged.withColumn(
+                "exact_dup", F.coalesce(F.col("exact_dup"), F.lit(False))
+            )
+            legacy_no_dedup = False
+        else:
+            cur = cur.withColumn("exact_dup", F.lit(False))
+    else:
+        cur = cur.withColumn(
+            "exact_dup", F.coalesce(F.col("exact_dup"), F.lit(False))
+        )
 
     reports: dict[str, DataFrame] = {}
     with tracker.stage("report_rule_summary"):

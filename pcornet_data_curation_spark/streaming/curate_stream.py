@@ -63,17 +63,26 @@ def curate_stream(
         .parquet(input_dir)
     )
     if cfg.dedup != "off":
-        from pcornet_data_curation_spark.plans.pipeline import lookback_filter
+        from pcornet_data_curation_spark.plans.pipeline import (
+            extraction_consistent_col,
+            lookback_filter,
+        )
         from pcornet_data_curation_spark.streaming.stateful import stream_dedup_flag
 
         # lookback BEFORE dedup, matching the batch stage order — a
         # pre-lookback row must not consume a fingerprint's first-seen
-        # slot (curate re-applies the filter; it is idempotent)
-        return curate(
-            stream_dedup_flag(lookback_filter(stream, cfg)),
-            cfg,
-            precomputed_dedup=True,
+        # slot (curate re-applies the filter; it is idempotent). html
+        # is consumed HERE (extraction_ok derived, binary dropped) so
+        # the ~100 KB-per-row column never rides the fp-keyed state
+        # shuffle or the stateful operator's Arrow round-trip — the
+        # same consume-at-the-scan rule the batch curate applies.
+        ext = (
+            extraction_consistent_col() if cfg.check_extraction else F.lit(True)
         )
+        pre = lookback_filter(stream, cfg).select(
+            "url", "warc_ts", "text", "lang", ext.alias("extraction_ok")
+        )
+        return curate(stream_dedup_flag(pre), cfg, precomputed_dedup=True)
     return curate(stream, cfg)
 
 

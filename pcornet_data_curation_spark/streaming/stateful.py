@@ -91,12 +91,6 @@ def stream_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
     )
 
 
-DEDUP_FLAG_OUT_DDL = (
-    "url string, warc_ts timestamp, html binary, text string, lang string, "
-    "exact_dup boolean"
-)
-
-
 def stream_dedup_flag(pages_stream: DataFrame) -> DataFrame:
     """Streaming twin of the batch exact-dedup stage (pipeline
     `with_exact_dup_flag`), wired for curate_stream: every page row
@@ -109,6 +103,15 @@ def stream_dedup_flag(pages_stream: DataFrame) -> DataFrame:
     by the groupBy key, the same fp-keyed co-location the batch
     stage's groupBy+join pays.
 
+    Schema-flexible: output = input columns + exact_dup, so the caller
+    controls what rides the fp-keyed state shuffle and the Arrow
+    round-trip — curate_stream derives extraction_ok and DROPS the
+    wide html binary BEFORE this operator (the batch pipeline's
+    "consume html at the scan" rule; carrying ~100 KB of html per row
+    through the widest shuffle measured ~3× on the batch pass).
+    Requires url and warc_ts (the in-batch ordering key) and text (the
+    fingerprint source).
+
     Documented divergence from the batch stage (which picks the global
     MINIMUM url as survivor): an append-mode stream cannot retro-flag
     an already-emitted row when a lexicographically-smaller url arrives
@@ -116,12 +119,17 @@ def stream_dedup_flag(pages_stream: DataFrame) -> DataFrame:
     downstream (dedup_summary counts, drop-mode keep fold) is
     method-agnostic over the flag.
     """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
     ws = "[ \\t\\n\\r\\f\\x0B]+"
     fp = F.xxhash64(
         F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), ws, " ")))
     )
     keyed = pages_stream.withColumn("_fp", fp)
-    cols = ["url", "warc_ts", "html", "text", "lang"]
+    cols = [f.name for f in pages_stream.schema.fields]
+    out_schema = StructType(
+        list(pages_stream.schema.fields) + [StructField("exact_dup", BooleanType(), False)]
+    )
 
     def flag(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -142,7 +150,7 @@ def stream_dedup_flag(pages_stream: DataFrame) -> DataFrame:
 
     return keyed.groupBy("_fp").applyInPandasWithState(
         flag,
-        outputStructType=DEDUP_FLAG_OUT_DDL,
+        outputStructType=out_schema,
         stateStructType=DEDUP_STATE_DDL,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -495,3 +495,44 @@ def test_resume_over_legacy_store_without_exact_dup(spark, tmp_path):
     ds = spark.read.parquet(os.path.join(out, "reports", "dedup_summary")).toPandas()
     assert ds["mode"].tolist() == ["n/a"] and ds["method"].tolist() == ["n/a"]
     assert ds["dup_n"].tolist() == [0]
+
+
+def test_reporting_over_mixed_vintage_store_merges_schema(spark, tmp_path):
+    """MIXED store (some buckets written before the dedup stage
+    existed, some after): the re-report must schema-merge, keep the
+    REAL flags on the new-vintage buckets, and coalesce legacy rows'
+    NULL flags to measured-false — not mask everything to mode 'n/a'."""
+    import shutil
+
+    out = str(tmp_path / "o")
+    # duplicate content so dedup actually flags rows
+    pages = pages_df(spark, 200, partitions=2)
+    dup = pages.withColumn("url", F.concat(F.col("url"), F.lit("?copy=1")))
+    both = pages.unionByName(dup)
+    cfg = PipelineConfig(output_root=out, n_buckets=4, dedup="flag")
+    run_pipeline(spark, both, cfg)
+    cur_path = os.path.join(out, "curated")
+    flagged_before = (
+        spark.read.parquet(cur_path).where("exact_dup").count()
+    )
+    assert flagged_before > 0
+
+    # legacy-ize HALF the store: strip exact_dup from buckets 0 and 1
+    for b in (0, 1):
+        bdir = os.path.join(cur_path, f"bucket={b}")
+        legacy = spark.read.parquet(bdir).drop("exact_dup")
+        tmp_b = str(tmp_path / f"legacy_{b}")
+        legacy.coalesce(1).write.parquet(tmp_b)
+        shutil.rmtree(bdir)
+        shutil.move(tmp_b, bdir)
+
+    res = run_pipeline(spark, both, cfg)
+    assert res["stats"]["buckets_processed_now"] == 0  # pure re-report
+    ds = spark.read.parquet(os.path.join(out, "reports", "dedup_summary")).toPandas()
+    assert ds["mode"].tolist() == ["flag"]  # NOT masked to n/a
+    # new-vintage buckets' real flags survived the merge
+    kept_flags = (
+        spark.read.option("mergeSchema", "true").parquet(cur_path)
+        .where("bucket >= 2 and exact_dup").count()
+    )
+    assert int(ds["dup_n"].iloc[0]) == kept_flags > 0
