@@ -2093,6 +2093,66 @@ WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
 """.replace("{bits}", _lsh_bucket_bits_sql())
 
 
+def q_embedding_dup_pairs_multiseed(spark, sf_dir):
+    """Multiseed sign-LSH union — the PRODUCTION recall shape for
+    embedding dedup (t=4 independent 12-plane tables: recall
+    ≈ 1-(1-p^12)^4 ≈ 0.73 at θ=0.95 vs ≈ 0.28 single-table, no false
+    positives; the auto-route target of embedding_dup_pairs above
+    max_exact_rows). One normalize+persist shared by all four seed
+    tables; each table is the ids-only bucket join. Fully
+    oracle-checked: all four seeds' hyperplanes are deterministic ±1
+    literals, so DuckDB reproduces each table's buckets and the
+    distinct-union of verified pairs exactly."""
+    from pcornet_data_curation_spark.operators.dedup import (
+        embedding_dup_pairs_multiseed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return embedding_dup_pairs_multiseed(
+        emb.unionByName(dups), threshold=0.95, n_planes=12, dim=64
+    ).select("id_a", "id_b")
+
+
+def _sql_multiseed_pairs() -> str:
+    per_seed = []
+    for seed in (42, 43, 44, 45):
+        per_seed.append(
+            f"""
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM (SELECT vec_id, e, {_lsh_bucket_bits_sql(seed=seed)} AS bucket FROM v) l
+  JOIN (SELECT vec_id, e, {_lsh_bucket_bits_sql(seed=seed)} AS bucket FROM v) r
+    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE list_reduce(list_transform(list_zip(l.e, r.e), x -> x[1] * x[2]),
+                    (a, b) -> a + b) >= 0.95"""
+        )
+    union = "\n  UNION\n".join(per_seed)  # UNION = distinct pairs
+    return f"""
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+raw AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM src
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, y -> y * y), (a, b) -> a + b)) AS nrm
+  FROM raw
+),
+v AS (
+  SELECT vec_id, list_transform(e, y -> y / nrm) AS e FROM n
+)
+{union}
+"""
+
+
+SQL_EMBEDDING_DUP_PAIRS_MULTISEED = _sql_multiseed_pairs()
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-k (multi-probe, hamming ≤ 2 of
     8 planes actually prunes the scan). Fully oracle-checked: the ±1
@@ -2241,6 +2301,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
     "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "embedding_dup_pairs_multiseed": (
+        q_embedding_dup_pairs_multiseed,
+        SQL_EMBEDDING_DUP_PAIRS_MULTISEED,
+    ),
     # -- entries whose implementing code round 4 touches: keep in-window --
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),
@@ -2285,13 +2349,13 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crosstab_pct_within": (q_crosstab_pct_within, SQL_CROSSTAB_PCT_WITHIN),
     "npct_multi_distinct": (q_npct_multi_distinct, SQL_NPCT_MULTI_DISTINCT),
     "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
+    # ---- positions 51+: past the driver's 50-entry observation ----
+    # window; every entry below is hash-green in CORRECTNESS_r03 and
+    # its implementing function is untouched in round 4.
     "semi_customers_with_orders": (
         q_semi_customers_with_orders,
         SQL_SEMI_CUSTOMERS_WITH_ORDERS,
     ),
-    # ---- positions 51-60: past the driver's 50-entry observation ----
-    # window; every entry below is hash-green in CORRECTNESS_r03 and
-    # its implementing function is untouched in round 4.
     "anti_orphan_events": (q_anti_orphan_events, SQL_ANTI_ORPHAN_EVENTS),
     "window_latest_event": (q_window_latest_event, SQL_WINDOW_LATEST_EVENT),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
@@ -2335,7 +2399,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
-        "lsh_topk", "ivf_topk",
+        "embedding_dup_pairs_multiseed", "lsh_topk", "ivf_topk",
     ),
 }
 
