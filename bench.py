@@ -44,7 +44,9 @@ HEADLINE = [
     "embedding_topk",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
+    "embedding_dup_pairs_multiseed",
     "ivf_topk",
+    "span_dedup",
     "verdict_documents",
     "scrub_full",
     "langid_heuristic",
