@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (59 of 61; omitted
+    """DuckDB-runnable ANSI SQL oracle per query (60 of 62; omitted
     only for the two engine-specific residues: the xxhash64
     fingerprint — whose md5 twin IS fully oracled — and the lookaround
     scrub chain — whose non-lookaround core IS fully oracled. The

@@ -65,6 +65,14 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         default=0.8,
         help="estimated-jaccard threshold for --dedup-method near",
     )
+    p.add_argument(
+        "--url-blocklist",
+        default=None,
+        help="newline-delimited domain blocklist file: enables the "
+        "URL-level pre-filter (blocked/subdomain hosts, keyword, "
+        "IP-literal, length, query-param heuristics) that drops pages "
+        "BEFORE curation",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -266,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup=args.dedup,
         dedup_method=args.dedup_method,
         near_threshold=args.near_threshold,
+        url_blocklist=args.url_blocklist,
     )
     result = run_pipeline(spark, open_table(spark, args.input), cfg)
     print(json.dumps({"outputs": {k: v for k, v in result.items() if k != "stats"},

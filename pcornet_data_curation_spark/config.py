@@ -67,6 +67,15 @@ class PipelineConfig:
     dedup_method: str = "exact"
     near_threshold: float = 0.8
 
+    # URL-level pre-filter (RefinedWeb/C4 stage): path to a newline-
+    # delimited domain blocklist file. When set, pages failing
+    # operators.urlfilter.url_filter (blocked/subdomain host, keyword,
+    # IP-literal host, length, query-param spam, unparsable url) are
+    # DROPPED before curation — they never reach scoring, exactly as a
+    # production crawl filter rejects by url before decoding payloads.
+    # Default None: per-url verdict parity with the reference labels.
+    url_blocklist: str | None = None
+
     def __post_init__(self) -> None:
         if self.dedup not in ("off", "flag", "drop"):
             raise ValueError(f"dedup must be off|flag|drop, got {self.dedup!r}")

@@ -112,6 +112,10 @@ DEFAULT_CHECKS: tuple[Check, ...] = (
     Check("15.02", "exact-duplicate rate high", "dedup_summary", "dup_pct", "gt", 30.0, "blue", category="drop", family="duplication"),
     Check("15.03", "corpus is mostly duplicates", "dedup_summary", "dup_pct", "gt", 60.0, "red", category="flag", family="duplication"),
     Check("15.04", "corpus is mostly duplicates", "dedup_summary", "dup_pct", "gt", 60.0, "red", category="drop", family="duplication"),
+    # -- 16.x url-level pre-filter (url_filter_summary; metrics exist
+    # only when cfg.url_blocklist is set — absent rows report n/a) ----------
+    Check("16.01", "url filter dropped >30% of input", "url_filter_summary", "dropped_pct", "gt", 30.0, "blue", family="urlfilter"),
+    Check("16.02", "url filter dropped most of the input (blocklist too broad?)", "url_filter_summary", "dropped_pct", "gt", 70.0, "red", family="urlfilter"),
 )
 
 

@@ -308,6 +308,25 @@ def run_pipeline(
     pre_run_manifest = _copy.deepcopy(manifest.data)
     pre_run_ts = _time.time()
 
+    # URL-level pre-filter (opt-in): reject by url BEFORE any payload
+    # is decoded — the RefinedWeb/C4 stage order. The flagged frame is
+    # kept for the url_filter_summary report (one column-pruned agg
+    # over urls); rejected rows never reach scoring/curation.
+    url_flagged = None
+    if cfg.url_blocklist:
+        from pcornet_data_curation_spark.operators.urlfilter import url_filter
+
+        bl = (
+            spark.read.text(cfg.url_blocklist)
+            .select(F.trim(F.col("value")).alias("domain"))
+            .where(F.length("domain") > 0)
+        )
+        url_flagged = url_filter(pages, bl)
+        pages = url_flagged.where(F.col("url_keep")).drop(
+            "host", "blocked_host", "url_keyword", "ip_host",
+            "url_too_long", "url_too_many_params", "url_keep",
+        )
+
     pending = manifest.pending_buckets()
     if limit_buckets is not None:
         pending = [b for b in pending if b in limit_buckets]
@@ -503,6 +522,18 @@ def run_pipeline(
             .alias("dup_pct"),
         )
 
+    if url_flagged is not None:
+        with tracker.stage("report_url_filter_summary"):
+            dropped = F.sum((~F.col("url_keep")).cast("long"))
+            total = F.count(F.lit(1))
+            reports["url_filter_summary"] = url_flagged.agg(
+                total.alias("records"),
+                dropped.alias("dropped_n"),
+                F.when(total > 0, F.floor(dropped * 10000.0 / total) / 100.0)
+                .otherwise(F.lit(0.0))
+                .alias("dropped_pct"),
+            )
+
     with tracker.stage("report_scrub_summary"):
         hits = F.sum(F.col("scrub_hit").cast("long"))
         total = F.count(F.lit(1))
@@ -565,6 +596,10 @@ def run_pipeline(
             melt_report(rread["domain_summary"], "domain_summary", []),
             melt_report(rread["dedup_summary"], "dedup_summary", ["mode"]),
         ]
+        if "url_filter_summary" in rread:
+            melted.append(
+                melt_report(rread["url_filter_summary"], "url_filter_summary", [])
+            )
         # rename 'tag' melts: variable column comes from id concat; fine as category
         metrics = assemble_metrics(melted)
 

@@ -51,6 +51,16 @@ def curate_stream(
     components need corpus-wide self-joins with no bounded-state
     streaming equivalent.
     """
+    if cfg.url_blocklist:
+        # the distinct-host suffix optimization is batch-only; a
+        # stream can apply operators.urlfilter.url_filter semantics via
+        # a stream-static join on exploded host suffixes, but that path
+        # is not wired — refuse loudly rather than silently skip
+        raise ValueError(
+            "url_blocklist pre-filter is batch-only; filter the source "
+            "with operators.urlfilter.url_filter before streaming, or "
+            "run the batch pipeline"
+        )
     if cfg.dedup != "off" and cfg.dedup_method == "near":
         raise ValueError(
             "dedup_method='near' is batch-only (corpus-wide LSH banding "

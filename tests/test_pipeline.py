@@ -203,7 +203,7 @@ def test_checks_trip_per_family(spark):
         "viability", "conformance", "uniqueness", "scrub", "extraction",
         "distribution", "temporal", "continuous", "rules",
         "referential", "drift", "staleness", "trend", "domains",
-        "duplication",
+        "duplication", "urlfilter",
     }
     # Data Checks v20 breadth (VERDICT r2 item 4: 26 → ~46)
     assert len(DEFAULT_CHECKS) >= 46
@@ -226,6 +226,7 @@ def test_checks_trip_per_family(spark):
         ("domain_summary", "", "", "top1_share_pct", "75.0", 75.0),     # 14.01+14.02 domains
         ("dedup_summary", "", "flag", "dup_pct", "45.0", 45.0),        # 15.01 duplication
         ("dedup_summary", "", "off", "dup_pct", "0.0", 0.0),           # off mode: no check anchors
+        ("url_filter_summary", "", "", "dropped_pct", "80.0", 80.0),   # 16.01+16.02 urlfilter
         # healthy rows that must NOT trip
         ("tokens_by_keep", "", "true", "mean", "250.0", 250.0),
         ("warc_minmax", "", "warc_ts", "future_n", "0", 0.0),
@@ -244,7 +245,7 @@ def test_checks_trip_per_family(spark):
         "1.01", "2.01", "3.01", "4.01", "4.02", "5.01", "5.02",
         "6.01", "7.01", "8.03", "9.01",
         "10.01", "11.01", "11.02", "12.01", "13.01", "14.01", "14.02",
-        "15.01",
+        "15.01", "16.01", "16.02",
     }
     trip_fams = set(out.loc[out["exception"], "family"])
     assert trip_fams == families  # every family demonstrably fires
@@ -536,3 +537,57 @@ def test_reporting_over_mixed_vintage_store_merges_schema(spark, tmp_path):
         .where("bucket >= 2 and exact_dup").count()
     )
     assert int(ds["dup_n"].iloc[0]) == kept_flags > 0
+
+
+def test_url_blocklist_prefilter_stage(spark, tmp_path):
+    """cfg.url_blocklist drops pages by url BEFORE curation (the
+    RefinedWeb/C4 stage order): blocked-domain and subdomain pages
+    never reach the curated table, url_filter_summary reports the drop
+    rate, and the 16.x checks trip when the blocklist eats most of the
+    corpus."""
+    import json
+
+    pages = pages_df(spark, 200, partitions=2)
+    hosts = [
+        r["h"]
+        for r in pages.selectExpr(
+            "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) as h"
+        ).distinct().collect()
+    ]
+    assert hosts
+    # block the single most common host → a measurable drop rate
+    from collections import Counter
+
+    counted = Counter(
+        r["h"]
+        for r in pages.selectExpr(
+            "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) as h"
+        ).collect()
+    )
+    top_host, top_n = counted.most_common(1)[0]
+    blfile = tmp_path / "blocklist.txt"
+    blfile.write_text(top_host.split("@")[-1].split(":")[0] + "\n")
+
+    out = str(tmp_path / "o")
+    cfg = PipelineConfig(
+        output_root=out, n_buckets=4, url_blocklist=str(blfile)
+    )
+    res = run_pipeline(spark, pages, cfg)
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    # no curated row's url parses to the blocked host
+    from pcornet_data_curation_spark.operators.reports import host_col
+
+    blocked_rows = cur.where(
+        host_col(F.col("url")) == blfile.read_text().strip()
+    ).count()
+    assert blocked_rows == 0
+    ufs = spark.read.parquet(
+        os.path.join(out, "reports", "url_filter_summary")
+    ).toPandas()
+    assert int(ufs["records"].iloc[0]) == 200
+    assert int(ufs["dropped_n"].iloc[0]) >= top_n
+    # metrics carry the family so 16.x evaluates (n/a in unfiltered runs)
+    m = spark.read.parquet(res["metrics"]).toPandas()
+    assert (m["dc_name"] == "url_filter_summary").any()
+    exc = spark.read.parquet(res["exceptions"]).toPandas()
+    assert {"16.01", "16.02"} <= set(exc["check_id"])

@@ -1,0 +1,70 @@
+"""URL-level filtering (RefinedWeb/C4-style) — blocklist subdomain
+semantics, heuristic flags, and the adversarial-url regression set
+shared with the host parser."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def flags(spark):
+    from pcornet_data_curation_spark.operators.urlfilter import url_filter
+
+    rows = [
+        (1, "https://good.example.org/a"),
+        (2, "https://spam.example.net/x"),                 # exact blocklist
+        (3, "https://a.b.spam.example.net/x"),             # subdomain blocklist
+        (4, "https://notspam.example.net/x"),              # suffix must NOT match
+        (5, "https://alice@[::1]/p"),                      # ipv6+userinfo → NULL host
+        (6, "https://bob@good.example.org:8080/p"),        # userinfo+port stripped
+        (7, "https://WIN-casino.example.com/promo"),       # keyword (case-folded)
+        (8, "https://93.184.216.34/raw"),                  # bare IPv4 host
+        (9, "https://ok.example.org/q?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"),
+        (10, "https://long.example.org/" + "x" * 3000),    # too long
+        (11, None),                                        # NULL url
+        (12, "not a url at all"),                          # unparsable
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("spam.example.net",), ("blocked.example.org",)], "domain string"
+    )
+    out = url_filter(df, bl).toPandas().set_index("doc_id")
+    return out
+
+
+def test_blocklist_subdomain_semantics(flags):
+    assert flags.loc[2, "blocked_host"] and not flags.loc[2, "url_keep"]
+    assert flags.loc[3, "blocked_host"]          # deep subdomain blocked
+    assert not flags.loc[4, "blocked_host"]      # 'notspam...' is NOT a subdomain
+    assert flags.loc[4, "url_keep"]
+    assert flags.loc[1, "url_keep"]
+
+
+def test_heuristic_flags(flags):
+    assert flags.loc[7, "url_keyword"] and not flags.loc[7, "url_keep"]
+    assert flags.loc[8, "ip_host"] and not flags.loc[8, "url_keep"]
+    assert flags.loc[9, "url_too_many_params"] and not flags.loc[9, "url_keep"]
+    assert flags.loc[10, "url_too_long"] and not flags.loc[10, "url_keep"]
+    # port+userinfo variants parse to the clean host and keep
+    assert flags.loc[6, "host"] == "good.example.org" and flags.loc[6, "url_keep"]
+
+
+def test_unparsable_never_keeps_and_flags_two_valued(flags):
+    import pandas as pd
+
+    for i in (5, 11, 12):
+        assert pd.isna(flags.loc[i, "host"])
+        assert not flags.loc[i, "url_keep"]
+    # every flag column is two-valued (no NULL leaks through keep logic)
+    for c in ("blocked_host", "url_keyword", "ip_host", "url_too_long",
+              "url_too_many_params", "url_keep"):
+        assert flags[c].notna().all(), c
+
+
+def test_url_filter_without_blocklist(spark):
+    from pcornet_data_curation_spark.operators.urlfilter import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://fine.example.org/")], "doc_id long, url string"
+    )
+    got = url_filter(df).toPandas()
+    assert not got["blocked_host"].iloc[0] and got["url_keep"].iloc[0]
