@@ -40,10 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (60 of 62; omitted
-    only for the two engine-specific residues: the xxhash64
-    fingerprint — whose md5 twin IS fully oracled — and the lookaround
-    scrub chain — whose non-lookaround core IS fully oracled. The
+    """DuckDB-runnable ANSI SQL oracle per query (60 of 63; omitted
+    only for the three engine-specific residues: the xxhash64
+    fingerprint — whose md5 twin IS fully oracled — the lookaround
+    scrub chain — whose non-lookaround core IS fully oracled — and the
+    zlib compression-ratio signal, whose exact values are pinned by a
+    bit-identical python-zlib pytest twin. The
     minhash/simhash banding, survivors, IVF (deterministic-centroid
     literals), and sign-LSH paths are all value-hash-checked.
 

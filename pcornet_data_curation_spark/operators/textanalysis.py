@@ -285,6 +285,62 @@ def nfc_normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(F.col(id_col), _nfc(F.col(text_col)).alias("text_nfc"))
 
 
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """DEFLATE compression ratio per document — the CCNet/Dolma-style
+    quality signal: highly compressible text (ratio ≪ 1) is
+    repetitive/templated boilerplate, near-incompressible text
+    (ratio → 1+) is noise/binary-ish. Complements the exact repetition
+    signals (dup lines, top-gram, span dedup) with a single holistic
+    scalar that catches repetition those n-gram windows miss.
+
+    ratio = len(zlib.compress(utf8, level)) / len(utf8); NULL for
+    empty/NULL docs (no bytes to compress — mirrors the cont-stats
+    NULL convention). Arrow-batched pandas UDF (zlib is C-speed;
+    justified Python like the NFC normalizer). Deterministic for a
+    fixed level and zlib build — the pytest twin pins exact values —
+    but zlib output is not expressible in DuckDB SQL, so the registry
+    entry is declared rows-only (the honest evidence class; same as
+    the xxhash64 fingerprint residue)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("struct<n_bytes: long, compressed_bytes: long>")
+    def _comp(texts: pd.Series) -> pd.DataFrame:
+        def one(t):
+            if t is None:
+                return (0, 0)
+            b = t.encode("utf-8")
+            if not b:
+                return (0, 0)
+            return (len(b), len(zlib.compress(b, lvl)))
+
+        pairs = texts.map(one)
+        return pd.DataFrame(
+            {
+                "n_bytes": pairs.map(lambda p: p[0]),
+                "compressed_bytes": pairs.map(lambda p: p[1]),
+            }
+        )
+
+    # evaluate the UDF ONCE per row (explicit intermediate projection
+    # rather than three struct-field references to the same call)
+    mid = df.select(F.col(id_col), _comp(F.col(text_col)).alias("_c"))
+    ratio = F.when(
+        F.col("_c.n_bytes") > 0, F.col("_c.compressed_bytes") / F.col("_c.n_bytes")
+    )  # else NULL
+    return mid.select(
+        F.col(id_col),
+        F.col("_c.n_bytes").alias("n_bytes"),
+        F.col("_c.compressed_bytes").alias("compressed_bytes"),
+        ratio.alias("compression_ratio"),
+    )
+
+
 def topgram_repetition(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
 ) -> DataFrame:

