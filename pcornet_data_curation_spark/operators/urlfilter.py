@@ -61,6 +61,7 @@ def url_filter(
     keywords: tuple[str, ...] = URL_KEYWORDS,
     max_url_len: int = 2048,
     max_query_params: int = 8,
+    broadcast_max_hosts: int = 5_000_000,
 ) -> DataFrame:
     """Append URL-rule flags + `url_keep` to `df`.
 
@@ -72,28 +73,44 @@ def url_filter(
     * ip_host        — host is a bare IPv4-shaped literal
     * url_too_long   — len(url) > max_url_len
     * url_too_many_params — more than max_query_params '&'-separated
-      query params ('?a=1&b=2' is 2)
+      query params in the QUERY string ('?a=1&b=2' is 2; '&' in the
+      path or fragment is legal and not counted)
     * url_keep       — none of the above fired and the url parsed
+
+    The derived blocked-host set persists for the run and broadcasts
+    only while ≤ broadcast_max_hosts rows (its cardinality is
+    corpus-driven — a blocklisted domain serving millions of random
+    subdomains materializes one row each — so above the cap the flag
+    attach falls back to a host-keyed shuffle join, same routing shape
+    as decontam's broadcast_max_grams). The persisted set is attached
+    as ``result._persisted_deps`` for caller-controlled release.
     """
     url = F.col(url_col)
     host = host_col(url)
     out = df.withColumn("host", host)
+    deps: list[DataFrame] = []
     if blocklist is not None:
         hosts = out.select("host").distinct()
-        blocked = F.broadcast(
-            blocked_hosts(hosts, blocklist).withColumn("_blk", F.lit(True))
+        blocked = (
+            blocked_hosts(hosts, blocklist).withColumn("_blk", F.lit(True)).persist()
         )
-        out = out.join(blocked, "host", "left").withColumn(
+        deps.append(blocked)
+        b = blocked if blocked.count() > broadcast_max_hosts else F.broadcast(blocked)
+        out = out.join(b, "host", "left").withColumn(
             "blocked_host", F.coalesce(F.col("_blk"), F.lit(False))
         ).drop("_blk")
     else:
         out = out.withColumn("blocked_host", F.lit(False))
     kw = F.lit(False)
-    if keywords:
-        kw = F.lower(url).rlike("|".join(keywords))
-    amp_n = F.length(url) - F.length(F.regexp_replace(url, "&", ""))
-    has_q = F.instr(url, "?") > 0
-    params_n = F.when(has_q, amp_n + 1).otherwise(F.lit(0))
+    live = [k for k in keywords if k]
+    if live:
+        # literal substring semantics: \Q..\E-quote each keyword so
+        # regex metacharacters (or an empty string) can't turn the
+        # alternation into match-everything / a pattern error
+        kw = F.lower(url).rlike("|".join("\\Q" + k + "\\E" for k in live))
+    query = F.regexp_extract(url, "\\?([^#]*)", 1)
+    amp_n = F.length(query) - F.length(F.regexp_replace(query, "&", ""))
+    params_n = F.when(F.length(query) > 0, amp_n + 1).otherwise(F.lit(0))
     out = (
         out.withColumn("url_keyword", F.coalesce(kw, F.lit(False)))
         .withColumn(
@@ -103,7 +120,7 @@ def url_filter(
         .withColumn("url_too_long", F.coalesce(F.length(url) > max_url_len, F.lit(False)))
         .withColumn("url_too_many_params", params_n > max_query_params)
     )
-    return out.withColumn(
+    out = out.withColumn(
         "url_keep",
         F.col("host").isNotNull()
         & ~F.col("blocked_host")
@@ -112,3 +129,5 @@ def url_filter(
         & ~F.col("url_too_long")
         & ~F.col("url_too_many_params"),
     )
+    out._persisted_deps = deps  # caller-controlled unpersist (see dedup)
+    return out

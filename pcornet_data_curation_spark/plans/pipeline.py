@@ -524,6 +524,11 @@ def run_pipeline(
 
     if url_flagged is not None:
         with tracker.stage("report_url_filter_summary"):
+            # one extra COLUMN-PRUNED pass over urls for the opt-in
+            # report (host parse is cheap relative to curation); the
+            # blocked-host derivation — the only shuffling part — is
+            # persisted inside url_filter and shared with the curate
+            # pass, so it is not recomputed here
             dropped = F.sum((~F.col("url_keep")).cast("long"))
             total = F.count(F.lit(1))
             reports["url_filter_summary"] = url_flagged.agg(
@@ -676,6 +681,12 @@ def run_pipeline(
     from pcornet_data_curation_spark.operators.report_render import render_run_report
 
     report_md = render_run_report(spark, out)
+
+    if url_flagged is not None:
+        # release the persisted blocked-host set (curate + summary done)
+        from pcornet_data_curation_spark.operators.dedup import unpersist_deps
+
+        unpersist_deps(url_flagged)
 
     stats = {
         "buckets_done": len(done_buckets),

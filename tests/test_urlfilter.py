@@ -60,6 +60,29 @@ def test_unparsable_never_keeps_and_flags_two_valued(flags):
         assert flags[c].notna().all(), c
 
 
+def test_keyword_escaping_and_param_scoping(spark):
+    """Keywords are literal substrings (regex metacharacters and empty
+    strings are inert), and the query-param count only looks at the
+    query string — '&' in a path is legal and never counted."""
+    from pcornet_data_curation_spark.operators.urlfilter import url_filter
+
+    rows = [
+        (1, "https://ok.example.org/a&b&c&d&e&f&g&h&i&j/page"),   # & in PATH only
+        (2, "https://ok.example.org/a&b&c&d&e&f&g&h&i?q=1"),       # path &s + 1 param
+        (3, "https://cpp.example.org/about-c++"),                   # metachar keyword
+        (4, "https://ok.example.org/x?a=1&b=2"),                    # 2 params
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = url_filter(
+        df, keywords=("c++", "", "casino")
+    ).toPandas().set_index("doc_id")
+    assert not got.loc[1, "url_too_many_params"] and got.loc[1, "url_keep"]
+    assert not got.loc[2, "url_too_many_params"]   # 1 real query param
+    assert not got.loc[4, "url_too_many_params"]
+    assert got.loc[3, "url_keyword"]               # literal 'c++' matched
+    assert not got.loc[4, "url_keyword"]           # empty keyword is inert
+
+
 def test_url_filter_without_blocklist(spark):
     from pcornet_data_curation_spark.operators.urlfilter import url_filter
 
