@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (60 of 63; omitted
+    """DuckDB-runnable ANSI SQL oracle per query (61 of 64; omitted
     only for the three engine-specific residues: the xxhash64
     fingerprint — whose md5 twin IS fully oracled — the lookaround
     scrub chain — whose non-lookaround core IS fully oracled — and the

