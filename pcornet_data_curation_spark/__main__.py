@@ -66,6 +66,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         help="estimated-jaccard threshold for --dedup-method near",
     )
     p.add_argument(
+        "--extract-missing-text",
+        action="store_true",
+        help="derive text from html (regex extraction chain) for rows "
+        "whose text column is NULL but html is present",
+    )
+    p.add_argument(
         "--url-blocklist",
         default=None,
         help="newline-delimited domain blocklist file: enables the "
@@ -275,6 +281,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup_method=args.dedup_method,
         near_threshold=args.near_threshold,
         url_blocklist=args.url_blocklist,
+        extract_missing_text=args.extract_missing_text,
     )
     result = run_pipeline(spark, open_table(spark, args.input), cfg)
     print(json.dumps({"outputs": {k: v for k, v in result.items() if k != "stats"},

@@ -67,6 +67,14 @@ class PipelineConfig:
     dedup_method: str = "exact"
     near_threshold: float = 0.8
 
+    # Derive text from html (operators/extract.py regex chain) for
+    # rows whose text column is NULL but html is present — the crawl
+    # case where extraction didn't run upstream. Pure Column algebra,
+    # so it works in batch and streaming alike. Default off: per-url
+    # verdict parity with the reference labels (which scores the
+    # stored text verbatim).
+    extract_missing_text: bool = False
+
     # URL-level pre-filter (RefinedWeb/C4 stage): path to a newline-
     # delimited domain blocklist file. When set, pages failing
     # operators.urlfilter.url_filter (blocked/subdomain host, keyword,

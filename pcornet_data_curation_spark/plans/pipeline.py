@@ -211,6 +211,19 @@ def curate(
     skip the batch flag computation but still honor cfg.dedup's
     drop-mode keep fold."""
     df = lookback_filter(pages, cfg)
+    if cfg.extract_missing_text and "html" in df.columns:
+        # crawl rows that arrived without extracted text: derive it
+        # from html with the deterministic regex chain (pure Column
+        # algebra — stream-safe, still consumed at the scan below)
+        from pcornet_data_curation_spark.operators.extract import extract_text_col
+
+        df = df.withColumn(
+            "text",
+            F.when(
+                F.col("text").isNull() & F.col("html").isNotNull(),
+                extract_text_col(F.col("html")),
+            ).otherwise(F.col("text")),
+        )
     # consume html AT THE SCAN: extraction_ok is derived here and html
     # dropped immediately, so the wide binary column never rides the
     # (bucket, salt) shuffle or the Arrow round-trip of the scoring UDF

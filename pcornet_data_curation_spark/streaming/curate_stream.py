@@ -89,8 +89,19 @@ def curate_stream(
         ext = (
             extraction_consistent_col() if cfg.check_extraction else F.lit(True)
         )
+        text_expr = F.col("text")
+        if cfg.extract_missing_text:
+            from pcornet_data_curation_spark.operators.extract import (
+                extract_text_col,
+            )
+
+            text_expr = F.when(
+                F.col("text").isNull() & F.col("html").isNotNull(),
+                extract_text_col(F.col("html")),
+            ).otherwise(F.col("text"))
         pre = lookback_filter(stream, cfg).select(
-            "url", "warc_ts", "text", "lang", ext.alias("extraction_ok")
+            "url", "warc_ts", text_expr.alias("text"), "lang",
+            ext.alias("extraction_ok"),
         )
         return curate(stream_dedup_flag(pre), cfg, precomputed_dedup=True)
     return curate(stream, cfg)

@@ -588,3 +588,36 @@ def test_url_blocklist_prefilter_stage(spark, tmp_path):
     exc = spark.read.parquet(res["exceptions"]).toPandas()
     fired = set(exc.loc[exc["exception"], "check_id"])
     assert {"16.01", "16.02"} <= fired
+
+
+def test_extract_missing_text_stage(spark, tmp_path):
+    """cfg.extract_missing_text: rows arriving with html but NULL text
+    get their text derived by the regex extraction chain before
+    scoring; rows with text keep it verbatim (parity), and the stage
+    off leaves NULL-text rows scored as empty."""
+    import datetime as dt
+
+    t = dt.datetime(2026, 1, 1)
+    body = ("some genuinely real sentence with many words here. " * 8).strip()
+    rows = [
+        ("https://a.example.org/1", t,
+         f"<html><head><title>x</title></head><body><p>{body}</p></body></html>".encode(),
+         None, "en"),
+        ("https://a.example.org/2", t, None, body, "en"),
+    ]
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = spark.createDataFrame(rows, ddl)
+
+    out_on = str(tmp_path / "on")
+    run_pipeline(spark, pages, PipelineConfig(
+        output_root=out_on, n_buckets=2, extract_missing_text=True))
+    cur = spark.read.parquet(os.path.join(out_on, "curated")).toPandas().set_index("url")
+    # derived and verbatim texts produce the same scrubbed output
+    assert cur.loc["https://a.example.org/1", "scrubbed_text"] == \
+           cur.loc["https://a.example.org/2", "scrubbed_text"] == body
+
+    out_off = str(tmp_path / "off")
+    run_pipeline(spark, pages, PipelineConfig(output_root=out_off, n_buckets=2))
+    cur0 = spark.read.parquet(os.path.join(out_off, "curated")).toPandas().set_index("url")
+    assert cur0.loc["https://a.example.org/1", "scrubbed_text"] is None or \
+           cur0.loc["https://a.example.org/1", "scrubbed_text"] != body
