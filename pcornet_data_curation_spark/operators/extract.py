@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-WS = "[ \\t\\n\\r\\f\\x0B]+"
+from pcornet_data_curation_spark.operators.textanalysis import WS  # one ws class everywhere
 
 # (?s) = dotall so blocks spanning lines drop; explicit case classes.
 # <head> drops FIRST (title/meta are markup, not document text — and
@@ -76,3 +76,20 @@ def extract_text(
     return df.select(
         F.col(id_col), extract_text_col(F.col(html_col)).alias("text_extracted")
     )
+
+
+def missing_text_filled_col(
+    text_col: str = "text", html_col: str = "html"
+) -> Column:
+    """Column for cfg.extract_missing_text, SHARED by the batch curate
+    and the streaming dedup path so the two cannot drift: text filled
+    from html only when text is NULL and html is present. Evaluate it
+    in the SAME projection that derives extraction_ok from the
+    ORIGINAL text column — a row whose text we derived ourselves is
+    consistent by construction (the weaker tag-strip-only consistency
+    probe would false-flag entity-bearing derived text as a mismatch
+    if it ran against the filled value)."""
+    return F.when(
+        F.col(text_col).isNull() & F.col(html_col).isNotNull(),
+        extract_text_col(F.col(html_col)),
+    ).otherwise(F.col(text_col))

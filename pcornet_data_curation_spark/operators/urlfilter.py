@@ -18,9 +18,10 @@ Scale design:
   matching is a non-equi join — quadratic against a 10^5-entry list.
   Instead each DISTINCT host explodes into its ≤ ~10 dot-suffixes and
   equi-joins the broadcast blocklist; the resulting blocked-host set
-  (bounded by the distinct-host count, usually tiny) broadcasts back
-  onto the corpus as a plain host equi-join. Hot hosts collapse
-  map-side in the distinct.
+  (bounded by the distinct-host count) joins back onto the corpus as
+  a plain host equi-join whose strategy AQE picks from its RUNTIME
+  size — broadcast when actually small, shuffle when a wildcard
+  domain blew it up. Hot hosts collapse map-side in the distinct.
 * Every heuristic flag is JVM Column algebra over the url string —
   no UDF, no shuffle beyond the host distinct.
 """
@@ -61,7 +62,7 @@ def url_filter(
     keywords: tuple[str, ...] = URL_KEYWORDS,
     max_url_len: int = 2048,
     max_query_params: int = 8,
-    broadcast_max_hosts: int = 5_000_000,
+    persist_blocked: bool = False,
 ) -> DataFrame:
     """Append URL-rule flags + `url_keep` to `df`.
 
@@ -77,13 +78,16 @@ def url_filter(
       path or fragment is legal and not counted)
     * url_keep       — none of the above fired and the url parsed
 
-    The derived blocked-host set persists for the run and broadcasts
-    only while ≤ broadcast_max_hosts rows (its cardinality is
-    corpus-driven — a blocklisted domain serving millions of random
-    subdomains materializes one row each — so above the cap the flag
-    attach falls back to a host-keyed shuffle join, same routing shape
-    as decontam's broadcast_max_grams). The persisted set is attached
-    as ``result._persisted_deps`` for caller-controlled release.
+    The blocked-host join strategy is left to AQE's runtime size
+    decision (the set's cardinality is corpus-driven — a blocklisted
+    wildcard domain serving millions of random subdomains materializes
+    one row each — so neither a forced broadcast nor an eager driver
+    count() is safe/lazy; AQE converts to broadcast when the built set
+    is actually small). persist_blocked=True additionally persists the
+    set for callers that run MULTIPLE actions over the result (the
+    pipeline: curate write + summary agg) — attached as
+    ``result._persisted_deps`` for caller-controlled release; the
+    default stays fully lazy with nothing cached.
     """
     url = F.col(url_col)
     host = host_col(url)
@@ -91,12 +95,11 @@ def url_filter(
     deps: list[DataFrame] = []
     if blocklist is not None:
         hosts = out.select("host").distinct()
-        blocked = (
-            blocked_hosts(hosts, blocklist).withColumn("_blk", F.lit(True)).persist()
-        )
-        deps.append(blocked)
-        b = blocked if blocked.count() > broadcast_max_hosts else F.broadcast(blocked)
-        out = out.join(b, "host", "left").withColumn(
+        blocked = blocked_hosts(hosts, blocklist).withColumn("_blk", F.lit(True))
+        if persist_blocked:
+            blocked = blocked.persist()
+            deps.append(blocked)
+        out = out.join(blocked, "host", "left").withColumn(
             "blocked_host", F.coalesce(F.col("_blk"), F.lit(False))
         ).drop("_blk")
     else:
@@ -108,7 +111,9 @@ def url_filter(
         # regex metacharacters (or an empty string) can't turn the
         # alternation into match-everything / a pattern error
         kw = F.lower(url).rlike("|".join("\\Q" + k + "\\E" for k in live))
-    query = F.regexp_extract(url, "\\?([^#]*)", 1)
+    # query string = after the first '?' that precedes any '#' — a '?'
+    # inside the fragment is fragment text, not a query (RFC 3986)
+    query = F.regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     amp_n = F.length(query) - F.length(F.regexp_replace(query, "&", ""))
     params_n = F.when(F.length(query) > 0, amp_n + 1).otherwise(F.lit(0))
     out = (

@@ -177,8 +177,9 @@ def with_near_dup_flag(df: DataFrame, threshold: float = 0.8) -> DataFrame:
 
     Scale shape is the dedup family's: banded signature self-join
     shuffles (band, bandhash, url) only; component labeling is
-    min-label propagation with one shuffle per round and a scalar-only
-    driver loop. NOTE: component resolution is an iterative
+    large-star/small-star alternation (O(log n) rounds on any graph)
+    with a scalar-only driver loop. NOTE: component resolution is an
+    iterative
     computation — calling this triggers Spark jobs eagerly rather than
     extending the lazy plan (documented pipeline-stage cost, not a
     per-report cost)."""
@@ -211,23 +212,14 @@ def curate(
     skip the batch flag computation but still honor cfg.dedup's
     drop-mode keep fold."""
     df = lookback_filter(pages, cfg)
-    if cfg.extract_missing_text and "html" in df.columns:
-        # crawl rows that arrived without extracted text: derive it
-        # from html with the deterministic regex chain (pure Column
-        # algebra — stream-safe, still consumed at the scan below)
-        from pcornet_data_curation_spark.operators.extract import extract_text_col
-
-        df = df.withColumn(
-            "text",
-            F.when(
-                F.col("text").isNull() & F.col("html").isNotNull(),
-                extract_text_col(F.col("html")),
-            ).otherwise(F.col("text")),
-        )
     # consume html AT THE SCAN: extraction_ok is derived here and html
     # dropped immediately, so the wide binary column never rides the
     # (bucket, salt) shuffle or the Arrow round-trip of the scoring UDF
-    # (measured: carrying it through cost ~3x on the curation pass)
+    # (measured: carrying it through cost ~3x on the curation pass).
+    # extraction_ok evaluates against the ORIGINAL text column; the
+    # missing-text fill happens in the SAME projection (identical
+    # expression + ordering as the streaming path, both from
+    # operators/extract.missing_text_filled_col).
     if "extraction_ok" in df.columns:
         # already derived upstream (the streaming dedup path consumes
         # html BEFORE its stateful shuffle, same rule as this scan)
@@ -236,10 +228,18 @@ def curate(
         extraction_ok = extraction_consistent_col()
     else:
         extraction_ok = F.lit(True)
-    keep_cols = ["url", "warc_ts", "text", "lang"]
-    if precomputed_dedup:
-        keep_cols.append("exact_dup")
-    df = df.select(*keep_cols, extraction_ok.alias("extraction_ok"))
+    text_expr = F.col("text")
+    if cfg.extract_missing_text and "html" in df.columns:
+        from pcornet_data_curation_spark.operators.extract import (
+            missing_text_filled_col,
+        )
+
+        text_expr = missing_text_filled_col()
+    tail_cols = ["lang"] + (["exact_dup"] if precomputed_dedup else [])
+    df = df.select(
+        "url", "warc_ts", text_expr.alias("text"),
+        *tail_cols, extraction_ok.alias("extraction_ok"),
+    )
     if precomputed_dedup:
         pass  # flag already on the rows (streaming stateful dedup)
     elif cfg.dedup != "off":
@@ -334,7 +334,7 @@ def run_pipeline(
             .select(F.trim(F.col("value")).alias("domain"))
             .where(F.length("domain") > 0)
         )
-        url_flagged = url_filter(pages, bl)
+        url_flagged = url_filter(pages, bl, persist_blocked=True)
         pages = url_flagged.where(F.col("url_keep")).drop(
             "host", "blocked_host", "url_keyword", "ip_host",
             "url_too_long", "url_too_many_params", "url_keep",

@@ -2316,9 +2316,9 @@ f AS (
       AS url_keyword,
     COALESCE(regexp_matches(host, '^[0-9]+(\.[0-9]+){3}$'), FALSE) AS ip_host,
     length(url) > 2048 AS url_too_long,
-    (CASE WHEN length(regexp_extract(url, '\?([^#]*)', 1)) > 0
-          THEN length(regexp_extract(url, '\?([^#]*)', 1))
-               - length(replace(regexp_extract(url, '\?([^#]*)', 1), '&', '')) + 1
+    (CASE WHEN length(regexp_extract(url, '^[^#]*?\?([^#]*)', 1)) > 0
+          THEN length(regexp_extract(url, '^[^#]*?\?([^#]*)', 1))
+               - length(replace(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&', '')) + 1
           ELSE 0 END) > 8
       AS url_too_many_params
   FROM h

@@ -92,13 +92,10 @@ def curate_stream(
         text_expr = F.col("text")
         if cfg.extract_missing_text:
             from pcornet_data_curation_spark.operators.extract import (
-                extract_text_col,
+                missing_text_filled_col,
             )
 
-            text_expr = F.when(
-                F.col("text").isNull() & F.col("html").isNotNull(),
-                extract_text_col(F.col("html")),
-            ).otherwise(F.col("text"))
+            text_expr = missing_text_filled_col()
         pre = lookback_filter(stream, cfg).select(
             "url", "warc_ts", text_expr.alias("text"), "lang",
             ext.alias("extraction_ok"),

@@ -91,3 +91,18 @@ def test_url_filter_without_blocklist(spark):
     )
     got = url_filter(df).toPandas()
     assert not got["blocked_host"].iloc[0] and got["url_keep"].iloc[0]
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    """RFC 3986: a '?' inside the fragment does not start a query —
+    '&'s after it are fragment text, never counted as params."""
+    from pcornet_data_curation_spark.operators.urlfilter import url_filter
+
+    rows = [
+        (1, "https://ok.example.org/p#frag?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"),
+        (2, "https://ok.example.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9#frag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = url_filter(df).toPandas().set_index("doc_id")
+    assert not got.loc[1, "url_too_many_params"] and got.loc[1, "url_keep"]
+    assert got.loc[2, "url_too_many_params"]     # real 9-param query
