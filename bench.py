@@ -47,6 +47,8 @@ HEADLINE = [
     "embedding_dup_pairs_multiseed",
     "ivf_topk",
     "span_dedup",
+    "url_filter",
+    "extract_text",
     "verdict_documents",
     "scrub_full",
     "langid_heuristic",
