@@ -96,3 +96,37 @@ def test_langid_batch_agrees_with_single_for_any_unicode(texts):
         lang_s, conf_s = langid_scores(t)
         assert langs_b[i] == lang_s, repr(t)
         assert abs(confs_b[i] - conf_s) < 1e-9, repr(t)
+
+
+# ---- extraction roundtrip property (pure-python twin of the chain) --------
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300))
+def test_extract_encode_roundtrip_any_unicode(text):
+    """Encode-wrap-extract roundtrip for ARBITRARY unicode: a python-re
+    twin of the exact extraction chain (same patterns, same order —
+    the Java∩RE2∩Python dialect subset) must recover the original text
+    modulo the whitespace collapse, for any content including raw
+    entity strings (&amp;lt; must come back as the literal &lt;, never
+    double-decoded) and non-ASCII whitespace at the edges."""
+    import re
+
+    from pcornet_data_curation_spark.operators import extract as EXC
+
+    def py_extract(html: str) -> str:
+        out = html
+        for pat in (EXC._HEAD_RE, EXC._SCRIPT_RE, EXC._STYLE_RE,
+                    EXC._COMMENT_RE, EXC._TAG_RE):
+            out = re.sub(pat, " ", out)
+        for ent, ch in EXC._ENTITIES:
+            out = out.replace(ent, ch)
+        return re.sub(EXC.WS, " ", out).strip()
+
+    enc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    page = (
+        '<html><head><title>t</title><script>if (1<2 && 3>0) {}</script>'
+        "</head><!-- c --><body><p>" + enc + "</p><i>footer &amp; nav</i></body></html>"
+    )
+    got = py_extract(page)
+    want = re.sub(EXC.WS, " ", text + " footer & nav").strip()
+    assert got == want, repr(text)
