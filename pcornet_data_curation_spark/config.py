@@ -75,6 +75,14 @@ class PipelineConfig:
     # stored text verbatim).
     extract_missing_text: bool = False
 
+    # When filling text from html, preserve line structure: '\n' at
+    # block-element boundaries (extract_text_lines_col) so derived
+    # text feeds dup_line_metrics, bullet/terminal-punct line ratios
+    # and span-dedup line reassembly with real lines — production
+    # extractors emit newlines at block tags for exactly this reason.
+    # False pins the legacy flat (single-line) chain.
+    extract_preserve_lines: bool = True
+
     # URL-level pre-filter (RefinedWeb/C4 stage): path to a newline-
     # delimited domain blocklist file. When set, pages failing
     # operators.urlfilter.url_filter (blocked/subdomain host, keyword,

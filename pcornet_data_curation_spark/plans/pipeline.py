@@ -234,7 +234,9 @@ def curate(
             missing_text_filled_col,
         )
 
-        text_expr = missing_text_filled_col()
+        text_expr = missing_text_filled_col(
+            preserve_lines=cfg.extract_preserve_lines
+        )
     tail_cols = ["lang"] + (["exact_dup"] if precomputed_dedup else [])
     df = df.select(
         "url", "warc_ts", text_expr.alias("text"),

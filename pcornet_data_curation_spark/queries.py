@@ -1444,6 +1444,113 @@ FROM x
 SQL_EXTRACT_TEXT = _sql_extract_text()
 
 
+# multi-block page for the newline-preserving extraction twin: heading,
+# paragraph (the doc text), two list items, footer div — plus source
+# newlines BETWEEN tags (plain markup whitespace, must NOT survive as
+# output lines) and a head-resident style block.
+_LINES_PAGE_HEAD = (
+    "<html><head><title>d</title><style>p{margin:0}</style></head>\n"
+    "<body>\n<h1>Doc</h1>\n<p>"
+)
+_LINES_PAGE_MID = "</p>\n<ul>\n  <li>alpha &amp; beta</li><li>"
+_LINES_PAGE_TAIL = "</li>\n</ul><div>footer &gt; nav</div></body></html>"
+
+
+def _enc_entities(c):
+    """Entity-encode &, <, > ('&' FIRST) — the fixture builder both
+    engines replay to construct identical page bytes."""
+    e = F.regexp_replace(c, "&", "&amp;")
+    e = F.regexp_replace(e, "<", "&lt;")
+    return F.regexp_replace(e, ">", "&gt;")
+
+
+def q_extract_text_lines(spark, sf_dir):
+    """Newline-preserving HTML → text extraction (operators/extract.
+    extract_text_lines_col): block-element boundaries become '\\n', so
+    html-derived text feeds line-structured signals (dup_line_metrics,
+    bullet/line ratios, span-dedup line reassembly) with real lines.
+    The fixture page wraps each doc's entity-encoded text in a
+    heading + paragraph + two list items + footer (markup newlines
+    between tags included — they are plain whitespace and must NOT
+    become lines); both engines build identical bytes and run the
+    identical LINES_STEPS chain, so text_lines, lines_n and the
+    roundtrip flag are value-hash-checked."""
+    from pcornet_data_curation_spark.operators.extract import (
+        extract_text_lines_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    src = F.coalesce(F.col("source"), F.lit(""))
+    html = F.concat(
+        F.lit(_LINES_PAGE_HEAD), _enc_entities(text), F.lit(_LINES_PAGE_MID),
+        _enc_entities(src), F.lit(_LINES_PAGE_TAIL),
+    )
+    norm = F.trim(F.regexp_replace(text, TA.WS, " "))
+    extracted = extract_text_lines_col(html)
+    expected = F.concat(
+        F.lit("Doc\n"),
+        F.when(norm == "", F.lit("")).otherwise(F.concat(norm, F.lit("\n"))),
+        F.lit("alpha & beta\n"), src, F.lit("\nfooter > nav"),
+    )
+    return docs.select(
+        "doc_id",
+        extracted.alias("text_lines"),
+        F.size(F.split(extracted, "\n")).alias("lines_n"),
+        (extracted == expected).alias("roundtrip"),
+    )
+
+
+def _sql_extract_text_lines() -> str:
+    """Oracle generated from the SAME LINES_STEPS chain the Spark
+    column runs (operators/extract.LINES_STEPS) — one source of truth,
+    the two replacement pipelines cannot drift. '\\n' replacements
+    become chr(10); patterns pass through un-escaped (DuckDB regular
+    strings hand the backslash sequences straight to RE2, which
+    decodes them exactly like Java)."""
+    from pcornet_data_curation_spark.operators import extract as EXC
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = "html"
+    for pat, rep in EXC.LINES_STEPS:
+        rep_sql = "chr(10)" if rep == "\n" else _q(rep)
+        expr = f"regexp_replace({expr}, {_q(pat)}, {rep_sql}, 'g')"
+    head = _LINES_PAGE_HEAD.replace("'", "''").replace("\n", "' || chr(10) || '")
+    mid = _LINES_PAGE_MID.replace("'", "''").replace("\n", "' || chr(10) || '")
+    tail = _LINES_PAGE_TAIL.replace("'", "''").replace("\n", "' || chr(10) || '")
+    ws = _q(EXC.WS)
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+      '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') AS e,
+    regexp_replace(regexp_replace(regexp_replace(coalesce(source, ''),
+      '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') AS esrc,
+    trim(regexp_replace(coalesce(text, ''), {ws}, ' ', 'g')) AS norm,
+    coalesce(source, '') AS src
+  FROM documents
+),
+page AS (
+  SELECT doc_id, norm, src,
+         '{head}' || e || '{mid}' || esrc || '{tail}' AS html
+  FROM enc
+),
+x AS (SELECT doc_id, norm, src, {expr} AS text_lines FROM page)
+SELECT doc_id, text_lines,
+       CAST(len(string_split(text_lines, chr(10))) AS INT) AS lines_n,
+       text_lines = 'Doc' || chr(10)
+         || (CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END)
+         || 'alpha & beta' || chr(10) || src || chr(10) || 'footer > nav'
+         AS roundtrip
+FROM x
+"""
+
+
+SQL_EXTRACT_TEXT_LINES = _sql_extract_text_lines()
+
+
 def q_compression_ratio(spark, sf_dir):
     """DEFLATE compression-ratio quality signal (CCNet/Dolma family):
     Arrow-batched zlib per document. Declared rows-only — zlib output
@@ -2487,6 +2594,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "url_filter": (q_url_filter, SQL_URL_FILTER),
     "compression_ratio": (q_compression_ratio, None),
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
+    "extract_text_lines": (q_extract_text_lines, SQL_EXTRACT_TEXT_LINES),
     # -- entries whose implementing code round 4 touches: keep in-window --
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dup_line_metrics": (q_dup_line_metrics, SQL_DUP_LINE_METRICS),

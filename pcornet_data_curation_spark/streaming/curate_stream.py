@@ -95,7 +95,9 @@ def curate_stream(
                 missing_text_filled_col,
             )
 
-            text_expr = missing_text_filled_col()
+            text_expr = missing_text_filled_col(
+                preserve_lines=cfg.extract_preserve_lines
+            )
         pre = lookback_filter(stream, cfg).select(
             "url", "warc_ts", text_expr.alias("text"), "lang",
             ext.alias("extraction_ok"),
