@@ -64,6 +64,14 @@ PAGES_CACHE = os.environ.get(
 
 def _sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+    # release operator-attached caches (embedding-LSH/multiseed and
+    # url_filter persist ids-only frames for multi-action callers; a
+    # bench query is done with them after its one action). One-shot
+    # drivers that skip this — e.g. the correctness harness — only
+    # defer release to ContextCleaner, which is safe, just lazier.
+    from pcornet_data_curation_spark.operators.dedup import unpersist_deps
+
+    unpersist_deps(df)
 
 
 def prepare_pages(spark, n_docs: int) -> str:

@@ -96,3 +96,87 @@ def contamination_flags(
         F.col("contaminated_grams_n").cast("long").alias("contaminated_grams_n"),
         (F.col("contaminated_grams_n") > 0).alias("contaminated"),
     )
+
+
+def decontaminate_remove(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_max_grams: int = 50_000_000,
+    max_grams_per_doc: int = 2_000,
+) -> DataFrame:
+    """Span-REMOVAL mode of benchmark decontamination (Dolma/FineWeb
+    style): instead of flagging the whole document, every token
+    covered by a benchmark-colliding k-gram is removed and the rest of
+    the document is kept — contaminated docs survive minus the leaked
+    span. One row per input doc: (id, text_decontaminated, tokens_n,
+    removed_tokens_n, contaminated).
+
+    Scale shape mirrors contamination_flags (the benchmark gram set
+    broadcasts; the corpus shuffles only doc-keyed): gram ANCHOR
+    positions explode → broadcast-probe → each hit expands to its k
+    covered positions (k rows per hit, k=13) → distinct → one anti-join
+    removes covered tokens → one doc-keyed aggregation reassembles the
+    text in token order. Reuses the span-dedup reassembly discipline
+    (sort-by-index collect per doc, bounded by document size); all JVM
+    Column algebra, no UDF."""
+    bench_grams = (
+        bench.where(F.col(bench_text_col).isNotNull())
+        .select(F.explode(_distinct_gram_hashes(F.col(bench_text_col), k)).alias("gram"))
+        .distinct()
+    )
+    n_bench_docs = bench.count()
+    marked = bench_grams.withColumn("_hit", F.lit(1))
+    if n_bench_docs * max_grams_per_doc <= broadcast_max_grams:
+        marked = F.broadcast(marked)
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS, " ")
+    )
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    tokens = base.select("_id", F.posexplode("_toks").alias("_idx", "_tok"))
+    # anchor i covers tokens [i, i+k): NON-distinct grams here — every
+    # occurrence of a leaked gram marks its own span
+    n = F.size(F.col("_toks"))
+    grams = base.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(word_kgram_col(F.col("_toks"), n, k), lambda s: F.xxhash64(s)),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_i", "gram"),
+    )
+    removed = (
+        grams.join(marked, "gram")
+        .select("_id", F.explode(F.sequence(F.col("_i"), F.col("_i") + (k - 1))).alias("_idx"))
+        .distinct()
+    )
+    kept = tokens.join(removed, ["_id", "_idx"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_idx"), F.col("_tok")))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_decontaminated"),
+        F.count(F.lit(1)).alias("_kept_n"),
+    )
+    totals = base.select("_id", F.size("_toks").alias("tokens_n"))
+    out = totals.join(rebuilt, "_id", "left").na.fill(
+        {"text_decontaminated": "", "_kept_n": 0}
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "text_decontaminated",
+        "tokens_n",
+        (F.col("tokens_n") - F.col("_kept_n")).cast("long").alias("removed_tokens_n"),
+        (F.col("tokens_n") > F.col("_kept_n")).alias("contaminated"),
+    )

@@ -26,42 +26,32 @@ oracle (queries.span_dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pcornet_data_curation_spark.operators.textanalysis import WS
 
 
-def block_dedup(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_tokens: int = 25,
-) -> DataFrame:
-    """(id, text_deduped, blocks_n, removed_blocks_n): the input with
-    globally duplicated token blocks removed (first occurrence by
-    (id, block_idx) survives). NULL/empty text → empty string, 0/0."""
-    b = block_tokens
+def _norm_tokens(text_col: str):
+    """(normalized text, token array, token count) columns shared by
+    both block builders; NULL/empty text → empty array."""
     norm = F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), WS, " "))
     toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
-    n = F.size(toks)
-    n_blocks = F.ceil(n / F.lit(float(b))).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * b + 1, b)),
-    )
-    blocks = F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col).alias("_id"), blocks.alias("_blocks"))
-    # group + join key is the 8-byte xxhash64 of the block, not the
-    # ~150-byte block string: halves the shuffle-key bytes and the
-    # compare cost on this operator's hottest exchange. The block text
-    # rides only the exploded side (needed for reassembly); the keeper
-    # side is (hash, min-(id,idx)) only. 64-bit collisions (~n²/2⁶⁵)
-    # would at worst drop a non-duplicate block — negligible at any
-    # realistic corpus size and identical in kind to every hash-dedup
-    # family member here.
+    return toks, F.size(toks)
+
+
+def _dedup_blocks(base: DataFrame, id_col: str) -> DataFrame:
+    """Shared tail of the span-dedup family: given (_id, _blocks:
+    array<string>), keep one global occurrence per block text — the
+    minimum (id, block_idx) — and reassemble each doc from its
+    surviving blocks. Group + join key is the 8-byte xxhash64 of the
+    block (halves shuffle-key bytes vs the ~150-byte string on this
+    operator's hottest exchange); the block text rides only the
+    exploded side. 64-bit collisions (~n²/2⁶⁵) would at worst drop a
+    non-duplicate block — negligible and identical in kind to every
+    hash-dedup family member here."""
     exploded = base.select(
         "_id", F.posexplode("_blocks").alias("_idx", "_block")
     ).withColumn("_bh", F.xxhash64("_block"))
@@ -91,3 +81,89 @@ def block_dedup(
         "blocks_n",
         (F.col("blocks_n") - F.col("_kept_n")).cast("long").alias("removed_blocks_n"),
     )
+
+
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 25,
+) -> DataFrame:
+    """(id, text_deduped, blocks_n, removed_blocks_n): the input with
+    globally duplicated token blocks removed (first occurrence by
+    (id, block_idx) survives). NULL/empty text → empty string, 0/0."""
+    b = block_tokens
+    toks, n = _norm_tokens(text_col)
+    n_blocks = F.ceil(n / F.lit(float(b))).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * b + 1, b)),
+    )
+    blocks = F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("_id"), blocks.alias("_blocks"))
+    return _dedup_blocks(base, id_col)
+
+
+def _md5_token_hash(tok: Column) -> Column:
+    """Engine-portable token hash (first 8 md5 hex digits as int64) —
+    the same md5-uniform construction sampling.py uses for cross-engine
+    determinism, so a DuckDB oracle reproduces the boundaries exactly."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def block_dedup_cdc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_block_tokens: int = 25,
+    portable_boundaries: bool = False,
+) -> DataFrame:
+    """Content-defined twin of block_dedup (same output schema): block
+    boundaries are ROLLING-HASH ANCHORS — a token opens a new block
+    when hash(token) % avg_block_tokens == 0 (position 0 always does) —
+    instead of a fixed stride. The fixed 25-token grid misses any
+    duplicated span whose alignment differs between the two documents
+    (offset by half a window, a duplicate survives); content-defined
+    boundaries are a pure function of the token stream, so a shared
+    span longer than ~2× the average block re-synchronizes onto
+    identical blocks in BOTH documents regardless of offset — the
+    content-defined-chunking reproduction of Lee et al. 2022's
+    suffix-array exact-substring dedup.
+
+    Block construction is all array HOFs on the unexploded row (anchor
+    index list via filter(sequence), slices between consecutive
+    anchors) — zero exchanges until the shared keeper machinery, whose
+    plan is identical to block_dedup: one groupBy(block-hash) with
+    map-side combine, one equi-join, one doc-keyed reassembly.
+
+    portable_boundaries=True swaps the boundary hash from xxhash64
+    (fastest, JVM) to the md5-prefix construction both engines share,
+    which is how the registry entry span_dedup_cdc is value-hash-
+    checked end-to-end against DuckDB; the machinery is otherwise
+    byte-identical and the default stays xxhash64 for the hot path.
+    """
+    p = avg_block_tokens
+    toks, n = _norm_tokens(text_col)
+    tok_hash = _md5_token_hash if portable_boundaries else F.xxhash64
+    bidx = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0))
+        | (F.pmod(tok_hash(F.element_at(toks, i + 1)), F.lit(p)) == 0),
+    )
+    m = F.size(bidx)
+    # block j spans tokens [bidx[j], bidx[j+1]) — F.get is 0-based and
+    # NULL out-of-range (never ANSI-errors on the last block)
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
+        lambda j: F.array_join(
+            F.slice(
+                toks,
+                F.get(bidx, j) + 1,
+                F.coalesce(F.get(bidx, j + 1), n) - F.get(bidx, j),
+            ),
+            " ",
+        ),
+    )
+    blocks = F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("_id"), blocks.alias("_blocks"))
+    return _dedup_blocks(base, id_col)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pcornet_data_curation_spark.operators.reports import host_col
+from pcornet_data_curation_spark.operators.reports import AUTHORITY_RE, host_col
 
 # demo keyword list (parameterized; production lists are larger and
 # curated — the operator takes any tuple)
@@ -68,15 +68,27 @@ def url_filter(
 
     Flags (each two-valued, never NULL — same contract as the rule
     registry):
-    * host           — parsed lowercased host (NULL when unparsable)
+    * host           — parsed lowercased host (NULL when unparsable;
+      a bracketed IPv6 literal also parses to NULL host — by design,
+      the ip_host flag covers it, see below)
     * blocked_host   — host or any parent domain in `blocklist(domain)`
     * url_keyword    — any of `keywords` in the lowercased url
-    * ip_host        — host is a bare IPv4-shaped literal
+    * ip_host        — host is a bare IPv4-shaped literal, OR the
+      authority is a bracketed IPv6/IPvFuture-style literal
+      (`https://[2606:2800::1946]/…` — hex/colon/dot content)
+    * non_ascii_host — host parsed but contains non-ASCII (an IDN that
+      was NOT punycoded upstream). Informational, NOT folded into
+      url_keep: an ASCII blocklist cannot match a raw-unicode host, so
+      the documented policy is that production corpora punycode urls
+      upstream (IDNA requires a codec — per-row Python — which this
+      JVM-only operator deliberately avoids); this flag is the audit
+      trail for rows where that contract was violated.
     * url_too_long   — len(url) > max_url_len
     * url_too_many_params — more than max_query_params '&'-separated
       query params in the QUERY string ('?a=1&b=2' is 2; '&' in the
       path or fragment is legal and not counted)
-    * url_keep       — none of the above fired and the url parsed
+    * url_keep       — none of the dropping flags fired and the url
+      parsed (ipv6 literals fail host-parse AND flag ip_host)
 
     The blocked-host join strategy is left to AQE's runtime size
     decision (the set's cardinality is corpus-driven — a blocklisted
@@ -116,11 +128,23 @@ def url_filter(
     query = F.regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     amp_n = F.length(query) - F.length(F.regexp_replace(query, "&", ""))
     params_n = F.when(F.length(query) > 0, amp_n + 1).otherwise(F.lit(0))
+    # bracketed IPv6/IPvFuture literal: host_col returns NULL for it
+    # (rejected at the '[' — see reports.host_col), so detect it on
+    # the userinfo-stripped authority directly
+    after_user = F.regexp_replace(
+        F.regexp_extract(url, AUTHORITY_RE, 1), "^[^@]*@", ""
+    )
+    ipv6 = after_user.rlike("^\\[[0-9a-fA-F:.]+\\]")
     out = (
         out.withColumn("url_keyword", F.coalesce(kw, F.lit(False)))
         .withColumn(
             "ip_host",
-            F.coalesce(F.col("host").rlike("^[0-9]+(\\.[0-9]+){3}$"), F.lit(False)),
+            F.coalesce(F.col("host").rlike("^[0-9]+(\\.[0-9]+){3}$"), F.lit(False))
+            | F.coalesce(ipv6, F.lit(False)),
+        )
+        .withColumn(
+            "non_ascii_host",
+            F.coalesce(F.col("host").rlike("[^\\x00-\\x7F]"), F.lit(False)),
         )
         .withColumn("url_too_long", F.coalesce(F.length(url) > max_url_len, F.lit(False)))
         .withColumn("url_too_many_params", params_n > max_query_params)

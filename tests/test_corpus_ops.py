@@ -71,6 +71,48 @@ def test_contamination_flags_semantics_and_broadcast(spark):
     pd.testing.assert_frame_equal(out, big)
 
 
+def test_decontaminate_remove_cuts_only_the_leaked_span(spark):
+    """Remove-mode: a doc with one contaminated paragraph keeps the
+    rest BYTE-EXACT (normalized form) — exactly the covered tokens go;
+    clean docs come back normalized-whole; fully-leaked docs empty."""
+    from pcornet_data_curation_spark.operators.decontam import decontaminate_remove
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens
+    head = "perfectly clean opening paragraph with original prose here"
+    tail = "and an equally clean closing paragraph follows after it"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{head} {leak} {tail}"),    # one leaked paragraph inside
+            (2, head),                        # clean
+            (3, leak),                        # fully leaked
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak.upper())], "doc_id long, text string")
+    out = (
+        decontaminate_remove(docs, bench, k=8)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "text_decontaminated"] == f"{head} {tail}"   # byte-exact
+    assert out.loc[1, "removed_tokens_n"] == 8 and bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "text_decontaminated"] == head
+    assert out.loc[2, "removed_tokens_n"] == 0 and not out.loc[2, "contaminated"]
+    assert out.loc[3, "text_decontaminated"] == "" and bool(out.loc[3, "contaminated"])
+    assert out.loc[4, "text_decontaminated"] == "" and out.loc[4, "tokens_n"] == 0
+    # overlapping hits never double-count a token: extend the leak by
+    # one token so two anchored 8-grams overlap on 7 tokens
+    docs2 = spark.createDataFrame(
+        [(1, f"{head} {leak} omega {tail}")], "doc_id long, text string"
+    )
+    bench2 = spark.createDataFrame(
+        [(100, f"{leak} omega")], "doc_id long, text string"
+    )
+    o2 = decontaminate_remove(docs2, bench2, k=8).toPandas().iloc[0]
+    assert o2["text_decontaminated"] == f"{head} {tail}"
+    assert o2["removed_tokens_n"] == 9
+
+
 def test_stratified_sample_deterministic_and_calibrated(spark):
     n = 4000
     df = spark.range(n).select(
@@ -194,5 +236,53 @@ def test_block_dedup_semantics(spark):
             "doc_id long, text string",
         ),
         block_tokens=25,
+    ).toPandas()
+    assert (again["removed_blocks_n"] == 0).all()
+
+
+def test_block_dedup_cdc_catches_straddling_duplicate(spark):
+    """The r4-verdict gap pinned: a shared span whose offset differs
+    between two docs by a non-multiple of the block size survives the
+    fixed 25-token grid but is caught by content-defined anchors
+    (boundaries re-synchronize inside the span regardless of offset).
+    Also: token conservation, empty/NULL handling, idempotence."""
+    from pcornet_data_curation_spark.operators.spandedup import (
+        block_dedup,
+        block_dedup_cdc,
+    )
+
+    span = " ".join(f"s{i}" for i in range(400))   # long shared span
+    pre = " ".join(f"p{i}" for i in range(13))     # 13-token offset: off-grid
+    rows = [
+        (1, span + " " + " ".join(f"a{i}" for i in range(30))),
+        (2, pre + " " + span),
+        (3, "tiny doc"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grid = block_dedup(df).toPandas().set_index("doc_id").sort_index()
+    assert grid.loc[2, "removed_blocks_n"] == 0   # the grid MISSES it
+
+    cdc = block_dedup_cdc(df).toPandas().set_index("doc_id").sort_index()
+    assert cdc.loc[1, "removed_blocks_n"] == 0    # first occurrence kept whole
+    assert cdc.loc[2, "removed_blocks_n"] > 0     # CDC catches the straddle
+    assert cdc.loc[2, "text_deduped"].startswith("p0 p1")
+    # interior span tokens of doc 2 are gone (resynchronized blocks)
+    assert " s100 " not in f' {cdc.loc[2, "text_deduped"]} '
+    assert cdc.loc[3, "text_deduped"] == "tiny doc"
+    for d in (4, 5):
+        assert cdc.loc[d, "text_deduped"] == "" and cdc.loc[d, "blocks_n"] == 0
+    # portable (md5) boundary variant: same machinery, same invariants
+    cdcp = block_dedup_cdc(df, portable_boundaries=True).toPandas().set_index(
+        "doc_id"
+    ).sort_index()
+    assert cdcp.loc[2, "removed_blocks_n"] > 0
+    # idempotent: a second pass over the deduped text removes nothing
+    again = block_dedup_cdc(
+        spark.createDataFrame(
+            [(int(i), t) for i, t in cdc["text_deduped"].items()],
+            "doc_id long, text string",
+        )
     ).toPandas()
     assert (again["removed_blocks_n"] == 0).all()

@@ -37,3 +37,47 @@ def test_entry_returns_rows(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert "keep" in df.columns
+
+
+def test_window_rotation_ledger_and_pins():
+    """Mechanical enforcement of the 50-entry observation-window
+    discipline: every registry entry either sits inside the driver's
+    head window, or (a) has a recorded green driver round in
+    LAST_DRIVER_GREEN and (b) its source fingerprint — builder +
+    oracle + referenced package functions/modules — matches the pin
+    taken when it was rotated out. An edit behind a past-window entry
+    breaks the pin; the fix is to rotate the entry into the head-50
+    and run `python tools/pin_registry.py --update`."""
+    import json
+    import os
+    import sys
+
+    from pcornet_data_curation_spark import queries as Q
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import pin_registry
+
+    names = list(Q.REGISTRY)
+    head = set(names[: Q.DRIVER_WINDOW])
+    past = names[Q.DRIVER_WINDOW:]
+
+    # never-green entries must be inside the window
+    for n in names:
+        if n not in Q.LAST_DRIVER_GREEN:
+            assert n in head, (
+                f"{n} has no recorded green driver round and sits past the "
+                f"{Q.DRIVER_WINDOW}-entry window — rotate it into the head"
+            )
+    # past-window entries: recorded round + unchanged fingerprint
+    with open(os.path.join(os.path.dirname(__file__), "registry_pins.json")) as f:
+        pins = json.load(f)
+    for n in past:
+        assert Q.LAST_DRIVER_GREEN.get(n, 0) > 0, f"{n} past window, never green"
+        assert n in pins, f"{n} past window but unpinned — run pin_registry --update"
+        got = pin_registry.entry_fingerprint(n)
+        assert got == pins[n], (
+            f"{n}: implementing source changed since its green round "
+            f"(pin {pins[n]} != {got}) — rotate into the head-50 window"
+        )
+    # ledger hygiene: no stale names
+    assert set(Q.LAST_DRIVER_GREEN) <= set(names)

@@ -22,6 +22,9 @@ def flags(spark):
         (10, "https://long.example.org/" + "x" * 3000),    # too long
         (11, None),                                        # NULL url
         (12, "not a url at all"),                          # unparsable
+        (13, "https://[2606:2800:220:1:248:1893:25c8:1946]/v6"),  # bare ipv6
+        (14, "https://bücher.example/idn"),                 # raw-unicode IDN
+        (15, "https://xn--bcher-kva.example/idn"),          # punycoded (ascii)
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     bl = spark.createDataFrame(
@@ -55,9 +58,27 @@ def test_unparsable_never_keeps_and_flags_two_valued(flags):
         assert pd.isna(flags.loc[i, "host"])
         assert not flags.loc[i, "url_keep"]
     # every flag column is two-valued (no NULL leaks through keep logic)
-    for c in ("blocked_host", "url_keyword", "ip_host", "url_too_long",
-              "url_too_many_params", "url_keep"):
+    for c in ("blocked_host", "url_keyword", "ip_host", "non_ascii_host",
+              "url_too_long", "url_too_many_params", "url_keep"):
         assert flags[c].notna().all(), c
+
+
+def test_ipv6_literal_and_idn_policy(flags):
+    import pandas as pd
+
+    # bracketed IPv6 literal: NULL host by design, but flagged ip_host
+    # (an IP-literal drop, not an unexplained parse failure) + dropped
+    assert pd.isna(flags.loc[13, "host"])
+    assert flags.loc[13, "ip_host"] and not flags.loc[13, "url_keep"]
+    # ipv6+userinfo variant gets the same treatment
+    assert flags.loc[5, "ip_host"]
+    # raw-unicode IDN: parses, KEEPS (policy: punycode upstream), but
+    # carries the audit flag — an ASCII blocklist can't match it
+    assert flags.loc[14, "host"] == "bücher.example"
+    assert flags.loc[14, "non_ascii_host"] and flags.loc[14, "url_keep"]
+    # punycoded form is plain ASCII: no flag, keeps
+    assert flags.loc[15, "host"] == "xn--bcher-kva.example"
+    assert not flags.loc[15, "non_ascii_host"] and flags.loc[15, "url_keep"]
 
 
 def test_keyword_escaping_and_param_scoping(spark):
