@@ -114,13 +114,80 @@ def run_curation(spark, pages_path: str) -> tuple[float, int]:
     return best, n
 
 
+def run_reports(n_docs: int) -> int:
+    """Cross-run drift/staleness/trend cost at bench scale (r4 verdict
+    task #8): run the full pipeline twice over the same corpus — the
+    second run with prior_run_root pointing at the first — and time
+    (a) both end-to-end runs and (b) the isolated drift-family
+    computation over the two normalized metrics tables. The claim
+    'cross-run report cost is independent of corpus size' (drift joins
+    METRIC rows, never fact rows) gets a measured number."""
+    import shutil
+
+    from pcornet_data_curation_spark.config import PipelineConfig
+    from pcornet_data_curation_spark.operators.checks import DEFAULT_CHECKS
+    from pcornet_data_curation_spark.operators.drift import (
+        drift_metrics,
+        trend_metrics,
+    )
+    from pcornet_data_curation_spark.plans.pipeline import run_pipeline
+    from pcornet_data_curation_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench-reports", cores=cpus)
+    pages_path = prepare_pages(spark, n_docs)
+    pages = spark.read.parquet(pages_path)
+    root = "/tmp/spark_graft_bench_reports"
+    shutil.rmtree(root, ignore_errors=True)
+    out1, out2 = os.path.join(root, "run1"), os.path.join(root, "run2")
+
+    t0 = time.perf_counter()
+    run_pipeline(spark, pages, PipelineConfig(output_root=out1, n_buckets=64))
+    run1_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_pipeline(
+        spark, pages,
+        PipelineConfig(output_root=out2, n_buckets=64, prior_run_root=out1),
+    )
+    run2_s = time.perf_counter() - t0
+
+    # isolated drift-family cost over the two metrics tables
+    now = spark.read.parquet(os.path.join(out2, "metrics"))
+    prior = spark.read.parquet(os.path.join(out1, "metrics"))
+    fo = lambda m: m.where(~m.dc_name.startswith("drift|"))  # noqa: E731
+    t0 = time.perf_counter()
+    d = drift_metrics(fo(now), fo(prior))
+    tr = trend_metrics(DEFAULT_CHECKS, fo(now), fo(prior))
+    drift_rows = d.count() + tr.count()
+    drift_s = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "cross_run_reports",
+                "unit": "sec",
+                "docs": n_docs,
+                "run1_sec": round(run1_s, 2),
+                "run2_with_prior_sec": round(run2_s, 2),
+                "drift_family_sec": round(drift_s, 2),
+                "drift_rows": int(drift_rows),
+                "metrics_rows": int(now.count()),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="local[8] vs local[32] run")
+    ap.add_argument("--reports", action="store_true", help="cross-run drift cost")
     ap.add_argument("--curation-only", action="store_true")
     ap.add_argument("--docs", type=int, default=None)
     args = ap.parse_args()
 
+    if args.reports:
+        return run_reports(args.docs or BENCH_DOCS)
     if args.scaling:
         # scaling needs a large enough job that per-core work dominates
         # the parallelism-independent residue (shuffle setup, driver
@@ -133,6 +200,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start = os.getloadavg()
     spark = get_spark(app_name="bench", cores=cpus)
 
     timings: dict[str, float] = {}
@@ -158,22 +226,45 @@ def main() -> int:
     docs_per_sec = round(n_docs / cur_s, 1)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "curation_docs": n_docs,
-                "curation_docs_per_sec": docs_per_sec,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "curation_docs": n_docs,
+        "curation_docs_per_sec": docs_per_sec,
+    }
+    # the scaling harness spawns many --curation-only subprocesses; the
+    # ceiling probes are measured once by run_scaling itself there
+    out.update(window_evidence(load_start, ceilings=not args.curation_only))
+    print(json.dumps(out))
     spark.stop()
     return 0
+
+
+def window_evidence(
+    load_start: tuple[float, float, float], ceilings: bool = True
+) -> dict:
+    """Live contention evidence stamped INTO the emitted JSON so the
+    per-round artifact is self-interpreting (r4 verdict task #2: a
+    contended window inflated BENCH_r04 vs the clean-window prose in
+    BENCH.md; per-entry numbers should carry their own weather
+    report). load_avg is (start, end) 1-min loadavg around the suite;
+    the two ceilings are the measured 8→32-process scaling of a
+    CPU-bound and a memory-bandwidth-bound probe on THIS host at
+    measurement time — the brackets any single-box scaling reading
+    must be placed between (see BASELINE.md)."""
+    probe = ceilings and (os.cpu_count() or 0) >= 32
+    return {
+        "load_avg": {
+            "start_1min": round(load_start[0], 2),
+            "end_1min": round(os.getloadavg()[0], 2),
+        },
+        "cpu_ceiling": machine_ceiling() if probe else None,
+        "membw_ceiling": machine_membw_ceiling() if probe else None,
+    }
 
 
 def _burn(n: int) -> int:

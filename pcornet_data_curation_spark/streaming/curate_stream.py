@@ -63,9 +63,14 @@ def curate_stream(
         )
     if cfg.dedup != "off" and cfg.dedup_method == "near":
         raise ValueError(
-            "dedup_method='near' is batch-only (corpus-wide LSH banding "
-            "+ connected components); streams support exact first-seen "
-            "dedup — use dedup_method='exact'"
+            "dedup_method='near' is not wired into curate_stream (the "
+            "batch operator's corpus-wide LSH banding + connected "
+            "components has no unbounded-stream equivalent); use "
+            "dedup_method='exact' here, and for streaming near-dup "
+            "flagging use streaming.neardup_stream."
+            "stream_neardup_flag_batch inside foreachBatch — per-batch "
+            "MinHash banding against a persisted signature store "
+            "(recipe: SCALE.md 'Streaming near-dedup')"
         )
     stream = (
         spark.readStream.schema(PAGES_DDL)

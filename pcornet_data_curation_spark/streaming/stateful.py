@@ -134,18 +134,33 @@ def stream_dedup_flag(pages_stream: DataFrame) -> DataFrame:
     def flag(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # one fingerprint's rows within one micro-batch: concat the
-        # Arrow chunks (bounded by the duplicate multiplicity of a
-        # single document) so "first" is the batch-global minimum
-        parts = [pdf for pdf in pdfs if len(pdf)]
-        if not parts:
+        # STREAM the Arrow chunks instead of concatenating the whole
+        # group: a hot boilerplate fingerprint with huge within-batch
+        # multiplicity would otherwise concentrate the full group's
+        # rows in one executor's memory. Only the current minimum
+        # (warc_ts, url) row is held back across chunks (O(1) carry);
+        # every other row is flagged exact_dup=True and yielded with
+        # its own chunk. At the end the carried minimum is emitted
+        # with exact_dup = whether the fingerprint was already seen
+        # in an earlier micro-batch.
+        seen_before = state.exists
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            combined = pdf if best is None else pd.concat([best, pdf])
+            combined = combined.sort_values(["warc_ts", "url"], na_position="last")
+            best = combined.head(1)
+            rest = combined.iloc[1:]
+            if len(rest):
+                out = rest[cols].copy()
+                out["exact_dup"] = True
+                yield out
+        if best is None:
             return
-        pdf = pd.concat(parts).sort_values(["warc_ts", "url"], na_position="last")
-        out = pdf[cols].copy()
-        out["exact_dup"] = True
-        if not state.exists:
-            out.iloc[0, out.columns.get_loc("exact_dup")] = False
-            state.update((True,))
+        state.update((True,))
+        out = best[cols].copy()
+        out["exact_dup"] = bool(seen_before)
         yield out
 
     return keyed.groupBy("_fp").applyInPandasWithState(

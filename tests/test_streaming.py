@@ -304,7 +304,7 @@ def test_stream_metrics_observed_per_batch(spark, tmp_path):
     import pytest as _pytest
 
     from pcornet_data_curation_spark.streaming import curate_stream
-    with _pytest.raises(ValueError, match="batch-only"):
+    with _pytest.raises(ValueError, match="stream_neardup_flag_batch"):
         curate_stream(spark, indir, PipelineConfig(
             output_root=str(tmp_path / "x"), dedup="flag", dedup_method="near"))
 
@@ -370,9 +370,83 @@ def test_stream_curate_with_dedup_flag_and_drop(spark, tmp_path):
     assert got.loc["https://ex.com/a", "keep"] == batch.loc["https://ex.com/a", "keep"]
 
     # near-dup mode on a stream is refused loudly
-    with pytest.raises(ValueError, match="batch-only"):
+    with pytest.raises(ValueError, match="stream_neardup_flag_batch"):
         curate_stream(
             spark, indir,
             PipelineConfig(output_root=str(tmp_path / "o2"), n_buckets=4,
                            dedup="drop", dedup_method="near"),
         )
+
+
+def test_stream_neardup_flag_batch_store(spark, tmp_path):
+    """Streaming near-dedup recipe (r4 verdict task #3): per-batch
+    MinHash banding against a persisted signature store inside
+    foreachBatch. Batch 2's near-duplicate of a batch-1 doc is flagged
+    (cross-batch, store probe); a within-batch near-dup pair flags the
+    larger id; unrelated docs never flag; a replayed batch_id is
+    idempotent (no self-matching against its own store partition)."""
+    from pcornet_data_curation_spark.operators.dedup import unpersist_deps
+    from pcornet_data_curation_spark.streaming.neardup_stream import (
+        stream_neardup_flag_batch,
+    )
+
+    store = str(tmp_path / "store")
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank while autumn leaves drift slowly down onto the cold water "
+            "surface in the pale morning light of early november ") * 3
+    ddl = "url string, text string"
+
+    def run(rows, bid):
+        bdf = spark.createDataFrame(rows, ddl)
+        out = stream_neardup_flag_batch(bdf, bid, store, threshold=0.7)
+        pdf = out.toPandas().set_index("url")
+        unpersist_deps(out)
+        return pdf
+
+    b1 = run(
+        [
+            ("https://ex.com/a", base),
+            ("https://ex.com/b", "completely different content about pyspark "
+                                 "partitioning strategies and shuffle behavior "
+                                 "at terabyte scale with adaptive execution " * 4),
+            # within-batch near-dup pair: /a survives (min id), /a2 flags
+            ("https://ex.com/a2", base + " tiny trailing addition"),
+        ],
+        0,
+    )
+    assert not b1.loc["https://ex.com/a", "near_dup"]
+    assert b1.loc["https://ex.com/a2", "near_dup"]        # within-batch
+    assert not b1.loc["https://ex.com/b", "near_dup"]
+
+    b2 = run(
+        [
+            ("https://ex.com/c", base + " slightly changed tail words"),  # near-dup of /a
+            ("https://ex.com/d", "yet another unrelated document on duckdb "
+                                 "oracle construction and value hash parity "
+                                 "checks across engines and dialects " * 4),
+        ],
+        1,
+    )
+    assert b2.loc["https://ex.com/c", "near_dup"]          # cross-batch via store
+    assert not b2.loc["https://ex.com/d", "near_dup"]
+
+    # replay batch 1 (failure recovery): identical result, no
+    # self-match against its own partially-written store partition
+    b2r = run(
+        [
+            ("https://ex.com/c", base + " slightly changed tail words"),
+            ("https://ex.com/d", "yet another unrelated document on duckdb "
+                                 "oracle construction and value hash parity "
+                                 "checks across engines and dialects " * 4),
+        ],
+        1,
+    )
+    assert b2r["near_dup"].to_dict() == b2["near_dup"].to_dict()
+
+    # store holds only survivors: /a2 and /c (flagged) never entered
+    import os as _os
+
+    sigs = spark.read.parquet(_os.path.join(store, "sigs")).toPandas()
+    assert set(sigs["_id"]) == {
+        "https://ex.com/a", "https://ex.com/b", "https://ex.com/d",
+    }
