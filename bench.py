@@ -47,8 +47,11 @@ HEADLINE = [
     "embedding_dup_pairs_multiseed",
     "ivf_topk",
     "span_dedup",
+    "span_dedup_cdc",
     "url_filter",
     "extract_text",
+    "extract_text_lines",
+    "decontaminate_remove",
     "verdict_documents",
     "scrub_full",
     "langid_heuristic",

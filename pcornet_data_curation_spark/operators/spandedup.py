@@ -42,19 +42,19 @@ def _norm_tokens(text_col: str):
     return toks, F.size(toks)
 
 
-def _dedup_blocks(base: DataFrame, id_col: str) -> DataFrame:
-    """Shared tail of the span-dedup family: given (_id, _blocks:
-    array<string>), keep one global occurrence per block text — the
-    minimum (id, block_idx) — and reassemble each doc from its
-    surviving blocks. Group + join key is the 8-byte xxhash64 of the
-    block (halves shuffle-key bytes vs the ~150-byte string on this
-    operator's hottest exchange); the block text rides only the
+def _dedup_blocks_rows(
+    exploded: DataFrame, totals: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared tail of the span-dedup family over (_id, _idx, _block)
+    rows + (_id, blocks_n) totals: keep one global occurrence per
+    block text — the minimum (id, block_idx) — and reassemble each doc
+    from its surviving blocks. Group + join key is the 8-byte xxhash64
+    of the block (halves shuffle-key bytes vs the ~150-byte string on
+    this operator's hottest exchange); the block text rides only the
     exploded side. 64-bit collisions (~n²/2⁶⁵) would at worst drop a
     non-duplicate block — negligible and identical in kind to every
     hash-dedup family member here."""
-    exploded = base.select(
-        "_id", F.posexplode("_blocks").alias("_idx", "_block")
-    ).withColumn("_bh", F.xxhash64("_block"))
+    exploded = exploded.withColumn("_bh", F.xxhash64("_block"))
     keeper = exploded.groupBy("_bh").agg(
         F.min(F.struct(F.col("_id"), F.col("_idx"))).alias("_k")
     )
@@ -73,7 +73,6 @@ def _dedup_blocks(base: DataFrame, id_col: str) -> DataFrame:
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("_kept_n"),
     )
-    totals = base.select("_id", F.size("_blocks").alias("blocks_n"))
     out = totals.join(rebuilt, "_id", "left").na.fill({"text_deduped": "", "_kept_n": 0})
     return out.select(
         F.col("_id").alias(id_col),
@@ -81,6 +80,16 @@ def _dedup_blocks(base: DataFrame, id_col: str) -> DataFrame:
         "blocks_n",
         (F.col("blocks_n") - F.col("_kept_n")).cast("long").alias("removed_blocks_n"),
     )
+
+
+def _dedup_blocks(base: DataFrame, id_col: str) -> DataFrame:
+    """Array-shaped front of _dedup_blocks_rows: base = (_id, _blocks:
+    array<string>). Fine when _blocks is CHEAP to build (the fixed
+    grid) — the expression is referenced twice (explode + size) and
+    Catalyst inlines it into both."""
+    exploded = base.select("_id", F.posexplode("_blocks").alias("_idx", "_block"))
+    totals = base.select("_id", F.size("_blocks").alias("blocks_n"))
+    return _dedup_blocks_rows(exploded, totals, id_col)
 
 
 def block_dedup(
@@ -130,11 +139,15 @@ def block_dedup_cdc(
     content-defined-chunking reproduction of Lee et al. 2022's
     suffix-array exact-substring dedup.
 
-    Block construction is all array HOFs on the unexploded row (anchor
-    index list via filter(sequence), slices between consecutive
-    anchors) — zero exchanges until the shared keeper machinery, whose
-    plan is identical to block_dedup: one groupBy(block-hash) with
-    map-side combine, one equi-join, one doc-keyed reassembly.
+    Block construction is ROW-based: one posexplode of the token
+    array, one boundary hash per token, block ordinals as a per-doc
+    running-sum window (partitioned by doc — state bounded by doc
+    size), then the shared keeper machinery: one groupBy(block-hash)
+    with map-side combine, one equi-join, one doc-keyed reassembly.
+    (An array-HOF formulation was 169× slower at sf0.1: Catalyst's
+    projection collapse inlines every reference to the anchor-index
+    expression, re-hashing all tokens O(m) times per doc — see the
+    inline comment.)
 
     portable_boundaries=True swaps the boundary hash from xxhash64
     (fastest, JVM) to the md5-prefix construction both engines share,
@@ -142,28 +155,52 @@ def block_dedup_cdc(
     checked end-to-end against DuckDB; the machinery is otherwise
     byte-identical and the default stays xxhash64 for the hot path.
     """
+    from pyspark.sql import Window
+
     p = avg_block_tokens
-    toks, n = _norm_tokens(text_col)
+    toks, _ = _norm_tokens(text_col)
     tok_hash = _md5_token_hash if portable_boundaries else F.xxhash64
-    bidx = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == F.lit(0))
-        | (F.pmod(tok_hash(F.element_at(toks, i + 1)), F.lit(p)) == 0),
+    # ROW-BASED block construction, deliberately: the array-HOF
+    # formulation (anchor-index list + per-block slices) references
+    # the anchor expression several times per block, and Catalyst's
+    # projection collapse INLINES every reference — the per-token
+    # hashing re-evaluates O(n·m) times per document (measured 333 s
+    # vs ~4 s for the fixed grid at sf0.1; a staged-select variant
+    # still collapsed to 11 plan copies). Exploding the tokens makes
+    # every per-token value ROW DATA computed exactly once: posexplode
+    # → one boundary hash per token → block id as a per-doc running
+    # sum (window partitioned by doc, bounded by doc size) → block
+    # text via the same sort-collect reassembly the family already
+    # uses. groupBy(_id, _bord) reuses the window's doc-keyed
+    # partitioning (no extra exchange).
+    tokens = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_tidx", "_tok")
     )
-    m = F.size(bidx)
-    # block j spans tokens [bidx[j], bidx[j+1]) — F.get is 0-based and
-    # NULL out-of-range (never ANSI-errors on the last block)
-    blocks = F.transform(
-        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
-        lambda j: F.array_join(
-            F.slice(
-                toks,
-                F.get(bidx, j) + 1,
-                F.coalesce(F.get(bidx, j + 1), n) - F.get(bidx, j),
+    bflag = (
+        (F.col("_tidx") == 0) | (F.pmod(tok_hash(F.col("_tok")), F.lit(p)) == 0)
+    ).cast("int")
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_tidx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blkd = tokens.select(
+        "_id", "_tidx", "_tok", (F.sum(bflag).over(w) - 1).alias("_bord")
+    )
+    exploded = blkd.groupBy("_id", F.col("_bord").alias("_idx")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_tidx"), F.col("_tok")))),
+                lambda s: s["_tok"],
             ),
             " ",
-        ),
+        ).alias("_block")
     )
-    blocks = F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col).alias("_id"), blocks.alias("_blocks"))
-    return _dedup_blocks(base, id_col)
+    # empty/NULL docs produce no token rows — restore them via the
+    # all-ids frame (blocks_n 0, empty text)
+    totals = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(exploded.groupBy("_id").count(), "_id", "left")
+        .select("_id", F.coalesce(F.col("count"), F.lit(0)).cast("int").alias("blocks_n"))
+    )
+    return _dedup_blocks_rows(exploded, totals, id_col)
