@@ -94,6 +94,64 @@ def hash_split(
     return df.withColumn(col_name, expr)
 
 
+def domain_temperature_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-sampled corpus mixing: keep each document of domain
+    d with probability (n_min / n_d)^(1-alpha), so the EXPECTED kept
+    count per domain is proportional to n_d^alpha — the temperature-
+    sampling law multilingual/multi-source training mixes use (alpha=1
+    keeps everything, alpha=0 equalizes all domains to ~n_min docs,
+    alpha in between flattens the long-tail-domain skew). Rates are
+    anchored at the smallest domain (rate exactly 1.0 there), so the
+    transform never tries to keep more than exists.
+
+    Unlike stratified_sample (caller-provided per-stratum rates), the
+    rates here are DERIVED from the corpus itself: one tiny
+    groupBy(domain) count (domains are bounded — this is the same
+    cardinality class as the reference's %n_pct reference-table
+    domains), its min taken on the driver-free plan side via a global
+    window over the domain-count frame, broadcast back onto the
+    corpus as a domain equi-join. The corpus itself never shuffles;
+    the keep decision is the engine's standard deterministic
+    md5(id:seed) uniform, so a resumed run keeps exactly the same
+    rows.
+
+    Returns the input plus (domain_n, keep_rate, keep) — callers
+    filter on `keep`; keeping the columns makes the decision auditable
+    (the lineage-report convention used across this repo).
+    """
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("domain_n")
+    )
+    # global min over the (tiny, domain-bounded) counts frame; the
+    # empty-frame Window warning class does not apply — this window
+    # runs over the aggregated frame, never the corpus
+    w = Window.partitionBy()
+    rated = counts.select(
+        "_dom",
+        "domain_n",
+        F.pow(
+            F.min("domain_n").over(w).cast("double") / F.col("domain_n"),
+            F.lit(1.0 - alpha),
+        ).alias("keep_rate"),
+    )
+    u = uniform_hash_col(F.col(id_col), seed)
+    return (
+        df.join(
+            F.broadcast(rated),
+            df[domain_col].eqNullSafe(rated["_dom"]),
+            "left",
+        )
+        .drop("_dom")
+        .withColumn("keep", u < F.col("keep_rate"))
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     tokens_col: str,

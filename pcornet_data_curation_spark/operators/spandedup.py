@@ -43,7 +43,7 @@ def _norm_tokens(text_col: str):
 
 
 def _dedup_blocks_rows(
-    exploded: DataFrame, totals: DataFrame, id_col: str
+    exploded: DataFrame, totals: DataFrame, id_col: str, sep: str = " "
 ) -> DataFrame:
     """Shared tail of the span-dedup family over (_id, _idx, _block)
     rows + (_id, blocks_n) totals: keep one global occurrence per
@@ -69,7 +69,7 @@ def _dedup_blocks_rows(
                 F.array_sort(F.collect_list(F.struct(F.col("_idx"), F.col("_block")))),
                 lambda s: s["_block"],
             ),
-            " ",
+            sep,
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("_kept_n"),
     )
@@ -204,3 +204,49 @@ def block_dedup_cdc(
         .select("_id", F.coalesce(F.col("count"), F.lit(0)).cast("int").alias("blocks_n"))
     )
     return _dedup_blocks_rows(exploded, totals, id_col)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact duplicate-LINE removal — the paragraph-dedup
+    stage of CCNet/Dolma-style pipelines (boilerplate lines repeated
+    across a crawl — nav bars, cookie banners, copyright footers —
+    keep ONE global occurrence, the minimum (doc_id, line_idx); every
+    other occurrence is cut and the document reassembled from its
+    surviving lines with '\\n'). The natural unit here is the LINE the
+    extractor emitted (extract_text_lines_col), not a token window —
+    boilerplate repeats exactly at line granularity.
+
+    Returns (id, text_deduped, lines_n, removed_lines_n); lines are
+    trimmed and empty lines dropped (they carry no content and would
+    otherwise all collide on ''), so the transform is idempotent.
+
+    Scale shape is the span-dedup family's (_dedup_blocks_rows): lines
+    explode to (id, idx, line) rows, ONE groupBy on the 8-byte line
+    hash whose partial agg absorbs hot boilerplate map-side, one
+    equi-join, one doc-keyed reassembly. Two keyed shuffles, no
+    self-join; a line repeated in 10^9 docs reduces to one row per
+    input partition before the exchange. Analog of the reference's
+    nodupkey dedup (data_curation_base.sas) lifted to line granularity.
+    """
+    raw = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    exploded = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode(raw).alias("_idx", "_l"))
+        .select("_id", "_idx", F.trim(F.col("_l")).alias("_block"))
+        .where(F.col("_block") != "")
+    )
+    totals = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(exploded.groupBy("_id").count(), "_id", "left")
+        .select("_id", F.coalesce(F.col("count"), F.lit(0)).cast("int").alias("blocks_n"))
+    )
+    out = _dedup_blocks_rows(exploded, totals, id_col, sep="\n")
+    return out.select(
+        id_col,
+        "text_deduped",
+        F.col("blocks_n").alias("lines_n"),
+        F.col("removed_blocks_n").alias("removed_lines_n"),
+    )

@@ -1914,6 +1914,278 @@ FROM bl LEFT JOIN reb USING (doc_id)
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact duplicate-LINE removal (spandedup.line_dedup)
+    — the CCNet/Dolma paragraph-dedup stage: boilerplate lines repeated
+    across the crawl keep one global occurrence (min doc_id, line_idx)
+    and documents are reassembled from their surviving lines. The
+    fixture wraps each doc's (unique) text in three injected
+    boilerplate lines — one global, one per-source, one global — so
+    removal counts vary by position in the corpus; both engines build
+    identical multi-line strings and run the identical keeper algebra."""
+    from pcornet_data_curation_spark.operators.spandedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    mtext = F.concat_ws(
+        "\n",
+        norm,
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("visit "), F.coalesce(F.col("source"), F.lit(""))),
+        F.lit("copyright example site"),
+    )
+    return line_dedup(docs.select("doc_id", mtext.alias("text")))
+
+
+SQL_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm,
+         coalesce(source, '') AS src
+  FROM documents
+),
+lx AS (
+  SELECT doc_id,
+         norm || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+         'visit ' || src || chr(10) || 'copyright example site' AS text
+  FROM d
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS raw FROM lx),
+pr AS (
+  SELECT doc_id,
+         [{{'idx': i - 1, 'line': trim(raw[i])}} FOR i IN range(1, len(raw) + 1)
+          IF trim(raw[i]) <> ''] AS pairs
+  FROM sp
+),
+ex AS (
+  SELECT doc_id, CAST(p.idx AS INT) AS idx, p.line AS line
+  FROM (SELECT doc_id, UNNEST(pairs) AS p FROM pr)
+),
+keep AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM ex
+),
+reb AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY idx) AS text_deduped,
+         COUNT(*) AS kept_n
+  FROM keep WHERE rn = 1 GROUP BY doc_id
+)
+SELECT pr.doc_id,
+       COALESCE(reb.text_deduped, '') AS text_deduped,
+       CAST(len(pr.pairs) AS INT) AS lines_n,
+       CAST(len(pr.pairs) - COALESCE(reb.kept_n, 0) AS BIGINT) AS removed_lines_n
+FROM pr LEFT JOIN reb USING (doc_id)
+"""
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (operators/c4.c4_line_filter): keep only
+    lines ending in terminal punctuation with >= 5 words and no
+    'javascript' mention; page keep = >= 3 surviving lines (Raffel et
+    al. 2020 §2.2). The fixture gives every doc five lines — its own
+    text with a terminal period (passes iff >= 5 words), one always-
+    good sentence, a short nav stub, a JavaScript nag, and a
+    quote-terminated 5-word line — so lines_kept and the page verdict
+    both vary; the oracle replays the identical predicate from the
+    module's own constants."""
+    from pcornet_data_curation_spark.operators.c4 import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    src = F.coalesce(F.col("source"), F.lit(""))
+    mtext = F.concat_ws(
+        "\n",
+        F.concat(norm, F.lit(".")),
+        F.lit("The quick brown fox jumps over the lazy dog."),
+        F.lit("Read more"),
+        F.lit("Enable JavaScript to view this page properly."),
+        F.concat(F.lit('He said "well done '), src, F.lit('"')),
+    )
+    return c4_line_filter(docs.select("doc_id", mtext.alias("text")))
+
+
+def _sql_c4_line_filter() -> str:
+    """Oracle generated from the c4 module's own constants (LINE_WS,
+    TERMINAL_PUNCT, the javascript token, min_words/min_lines defaults)
+    so the two predicates cannot drift."""
+    from pcornet_data_curation_spark.operators import c4 as C4
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    lws = _q(C4.LINE_WS)
+    term = _q(C4.TERMINAL_PUNCT + "$")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm,
+         coalesce(source, '') AS src
+  FROM documents
+),
+lx AS (
+  SELECT doc_id,
+         norm || '.' || chr(10) ||
+         'The quick brown fox jumps over the lazy dog.' || chr(10) ||
+         'Read more' || chr(10) ||
+         'Enable JavaScript to view this page properly.' || chr(10) ||
+         'He said "well done ' || src || '"' AS text
+  FROM d
+),
+t AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          l -> trim(regexp_replace(l, {lws}, ' ', 'g'))),
+           l -> l <> '') AS trimmed
+  FROM lx
+),
+k AS (
+  SELECT doc_id, trimmed,
+         list_filter(trimmed,
+           l -> len(string_split_regex(l, {lws})) >= 5
+                AND regexp_matches(l, {term})
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text_clean,
+       CAST(len(trimmed) AS INT) AS lines_n,
+       CAST(len(kept) AS INT) AS lines_kept,
+       len(kept) >= 3 AS keep
+FROM k
+"""
+
+
+SQL_C4_LINE_FILTER = _sql_c4_line_filter()
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + canonical-url dedup (operators/urlnorm):
+    case-normalized scheme/host, fragment stripped, default ports
+    stripped, tracking params removed, canonical-key keeper = min
+    doc_id. The fixture synthesizes six deterministic url shapes from
+    doc_id — messy/clean pairs of the same resource (case+port+utm vs
+    bare; :443 vs bare with fragment), a tracking-only query, and a
+    non-url fallback — so canonical collisions and keeper choice are
+    all value-hash-checked; the oracle replays the module's own
+    AUTH_STEPS/REST_STEPS chains."""
+    from pcornet_data_curation_spark.operators.urlnorm import url_canonical_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    prev = (d - 1).cast("string")
+    url = (
+        F.when(d % 6 == 0, F.concat(F.lit("HTTP://WWW.Example.com:80/p/"), s, F.lit("?utm_source=feed&x=1#sec")))
+        .when(d % 6 == 1, F.concat(F.lit("http://www.example.com/p/"), prev, F.lit("?x=1")))
+        .when(d % 6 == 2, F.concat(F.lit("https://Blog.Example.org:443/post/"), s))
+        .when(d % 6 == 3, F.concat(F.lit("https://blog.example.org/post/"), prev, F.lit("#frag")))
+        .when(d % 6 == 4, F.concat(F.lit("https://shop.example.net/item?utm_a=1&utm_b=2&q="), s))
+        .otherwise(F.concat(F.lit("mailto:user"), s, F.lit("@example.com#x")))
+    )
+    return url_canonical_dedup(docs.select("doc_id", url.alias("url")))
+
+
+def _sql_url_canonicalize() -> str:
+    """Oracle generated from urlnorm's own AUTH_STEPS/REST_STEPS and
+    authority-split regex; '$1' backrefs translate to DuckDB's '\\1'."""
+    from pcornet_data_curation_spark.operators import urlnorm as UN
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    a = "lower(auth)"
+    for pat, rep in UN.AUTH_STEPS:
+        a = f"regexp_replace({a}, {_q(pat)}, {_q(rep.replace('$', chr(92)))}, 'g')"
+    r = "rest"
+    for pat, rep in UN.REST_STEPS:
+        r = f"regexp_replace({r}, {_q(pat)}, {_q(rep)}, 'g')"
+    split = _q(UN._AUTH_SPLIT_RE)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.Example.com:80/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&x=1#sec'
+         WHEN doc_id % 6 = 1 THEN 'http://www.example.com/p/' || CAST(doc_id - 1 AS VARCHAR) || '?x=1'
+         WHEN doc_id % 6 = 2 THEN 'https://Blog.Example.org:443/post/' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 6 = 3 THEN 'https://blog.example.org/post/' || CAST(doc_id - 1 AS VARCHAR) || '#frag'
+         WHEN doc_id % 6 = 4 THEN 'https://shop.example.net/item?utm_a=1&utm_b=2&q=' || CAST(doc_id AS VARCHAR)
+         ELSE 'mailto:user' || CAST(doc_id AS VARCHAR) || '@example.com#x' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, {split}, 1) AS auth,
+         regexp_extract(url, {split}, 2) AS rest
+  FROM base
+),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN auth = '' THEN regexp_replace(url, '#.*$', '', 'g')
+              ELSE {a} ||
+                   (CASE WHEN {r} = '' THEN '/' ELSE {r} END)
+         END AS canonical_url
+  FROM parts
+)
+SELECT doc_id, url, canonical_url,
+       doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+         AS is_canonical_keeper
+FROM canon
+"""
+
+
+SQL_URL_CANONICALIZE = _sql_url_canonicalize()
+
+
+def q_domain_temperature_sample(spark, sf_dir):
+    """Temperature-sampled corpus mixing (sampling.
+    domain_temperature_sample): per-domain keep rate (n_min/n_d)^(1-a)
+    so expected kept counts follow n_d^a — the multilingual/multi-
+    source mixing law. The documents table's sources are perfectly
+    balanced, so the fixture makes a long-tail mix (80% of docs in one
+    'web' bulk domain, the rest in their per-source tail); keep_rate
+    is compared as floor-of-basis-points (pow is not guaranteed
+    correctly rounded across engines; the raw double stays in the
+    keep decision where a 1-ulp flip has ~2^-52 probability mass)."""
+    from pcornet_data_curation_spark.operators.sampling import (
+        domain_temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = F.when(F.col("doc_id") % 5 != 0, F.lit("web")).otherwise(F.col("source"))
+    base = docs.select("doc_id", dom.alias("domain"))
+    out = domain_temperature_sample(base, domain_col="domain", alpha=0.5, seed=7)
+    return out.select(
+        "doc_id",
+        "domain",
+        "domain_n",
+        F.floor(F.col("keep_rate") * 10000).cast("long").alias("keep_rate_bp"),
+        "keep",
+    )
+
+
+SQL_DOMAIN_TEMPERATURE_SAMPLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 <> 0 THEN 'web' ELSE source END AS domain
+  FROM documents
+),
+c AS (SELECT domain, COUNT(*) AS domain_n FROM base GROUP BY 1),
+r AS (
+  SELECT domain, domain_n,
+         pow(CAST((SELECT MIN(domain_n) FROM c) AS DOUBLE) / domain_n, 0.5)
+           AS keep_rate
+  FROM c
+)
+SELECT b.doc_id, b.domain, r.domain_n,
+       CAST(floor(r.keep_rate * 10000) AS BIGINT) AS keep_rate_bp,
+       CAST(concat('0x', substring(md5(CAST(b.doc_id AS VARCHAR) || ':7'), 1, 8))
+            AS BIGINT) / 4294967296.0 < r.keep_rate AS keep
+FROM base b JOIN r USING (domain)
+"""
+
+
 def q_pack_token_shards(spark, sf_dir):
     """Token-budget shard packing: assign documents to ~5000-char
     training shards per source, greedily in doc_id order (running-sum
@@ -2750,6 +3022,20 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "compression_ratio": (q_compression_ratio, None),
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "extract_text_lines": (q_extract_text_lines, SQL_EXTRACT_TEXT_LINES),
+    # -- new in r05 (second batch): must land in CORRECTNESS_r05 --
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "domain_temperature_sample": (
+        q_domain_temperature_sample,
+        SQL_DOMAIN_TEMPERATURE_SAMPLE,
+    ),
+    # sampling.py gained domain_temperature_sample this round — its
+    # whole-module pins broke, so the three sampling entries rotate
+    # back into the window:
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     # -- entries whose implementing code round 4 touches: keep in-window --
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "span_dedup_cdc": (q_span_dedup_cdc, SQL_SPAN_DEDUP_CDC),
@@ -2780,6 +3066,11 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tag_profile_orders": (q_tag_profile_orders, SQL_TAG_PROFILE_ORDERS),
     "npct_returnflag": (q_npct_returnflag, SQL_NPCT_RETURNFLAG),
     "npct_noref_event_type": (q_npct_noref_event_type, SQL_NPCT_NOREF_EVENT_TYPE),
+    # ---- positions 51+: past the driver's 50-entry observation ----
+    # window; every entry below has a green CORRECTNESS_r03/r04 row and
+    # untouched implementing code (enforced by registry_pins.json).
+    # Rotated out in r05 second batch (hash-green r04, reports.py and
+    # their builders untouched this round):
     "cont_stats_quantity": (q_cont_stats_quantity, SQL_CONT_STATS_QUANTITY),
     "cont_stats_full": (q_cont_stats_full, SQL_CONT_STATS_FULL),
     "crosstab3_orders": (q_crosstab3_orders, SQL_CROSSTAB3_ORDERS),
@@ -2790,9 +3081,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_crosstab_orders_domains,
         SQL_CROSSTAB_ORDERS_DOMAINS,
     ),
-    # ---- positions 51+: past the driver's 50-entry observation ----
-    # window; every entry below is hash-green in CORRECTNESS_r03 and
-    # its implementing function is untouched in round 4.
     "crosstab_pct_within": (q_crosstab_pct_within, SQL_CROSSTAB_PCT_WITHIN),
     "npct_multi_distinct": (q_npct_multi_distinct, SQL_NPCT_MULTI_DISTINCT),
     "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
@@ -2810,10 +3098,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "across_date_check": (q_across_date_check, SQL_ACROSS_DATE_CHECK),
     "xmin_vs_orderdate": (q_xmin_vs_orderdate, SQL_XMIN_VS_ORDERDATE),
     "bucket_acctbal": (q_bucket_acctbal, SQL_BUCKET_ACCTBAL),
-    # rotated out in r05 (hash-green r04, implementing code untouched):
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
-    "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
 }
 
 # ---------------------------------------------------------------------------
@@ -2891,7 +3175,9 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "cross_doc_ngrams", "topgram_repetition", "decontaminate",
         "decontaminate_remove", "compression_ratio", "extract_text",
         "extract_text_lines", "stratified_sample", "hash_split",
-        "nfc_normalize", "span_dedup", "span_dedup_cdc", "pack_token_shards",
+        "nfc_normalize", "span_dedup", "span_dedup_cdc", "line_dedup",
+        "c4_line_filter", "url_canonicalize", "domain_temperature_sample",
+        "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",

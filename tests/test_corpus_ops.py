@@ -286,3 +286,143 @@ def test_block_dedup_cdc_catches_straddling_duplicate(spark):
         )
     ).toPandas()
     assert (again["removed_blocks_n"] == 0).all()
+
+
+def test_line_dedup_keeps_one_global_occurrence(spark):
+    """Corpus-wide duplicate-line removal: a boilerplate line repeated
+    across docs keeps exactly the (min doc_id, min idx) occurrence;
+    within-doc repeats removed; empty lines dropped (idempotence);
+    reassembly preserves original line order with '\\n'."""
+    from pcornet_data_curation_spark.operators.spandedup import line_dedup
+
+    rows = [
+        (1, "unique alpha\ncookie banner\nunique beta"),
+        (2, "cookie banner\nunique gamma"),            # banner cut (doc 1 keeps)
+        (3, "same line\n\nsame line"),                 # within-doc repeat
+        (4, "  spaced   \n"),                          # trims, drops empties
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text_deduped"] == "unique alpha\ncookie banner\nunique beta"
+    assert out.loc[1, "removed_lines_n"] == 0
+    assert out.loc[2, "text_deduped"] == "unique gamma"
+    assert out.loc[2, "removed_lines_n"] == 1 and out.loc[2, "lines_n"] == 2
+    assert out.loc[3, "text_deduped"] == "same line"
+    assert out.loc[3, "removed_lines_n"] == 1
+    assert out.loc[4, "text_deduped"] == "spaced" and out.loc[4, "lines_n"] == 1
+    for d in (5, 6):
+        assert out.loc[d, "text_deduped"] == "" and out.loc[d, "lines_n"] == 0
+    # idempotent: second pass removes nothing
+    again = line_dedup(
+        spark.createDataFrame(
+            [(int(i), t) for i, t in out["text_deduped"].items()],
+            "doc_id long, text string",
+        )
+    ).toPandas()
+    assert (again["removed_lines_n"] == 0).all()
+
+
+def test_c4_line_filter_predicates_and_page_rule(spark):
+    """Each C4 predicate exercised on its own line: short lines, no
+    terminal punctuation, and javascript mentions drop; sentences and
+    quote-terminated lines survive; page keep = >= min_lines
+    survivors; NULL/empty text yields an empty kept page."""
+    from pcornet_data_curation_spark.operators.c4 import c4_line_filter
+
+    good = "The quick brown fox jumps over the lazy dog."
+    rows = [
+        (1, f"{good}\nAnother fine sentence stands right here.\n"
+            f'He said "five words are enough."\nRead more\n'
+            f"Enable JavaScript to view this site.\n"
+            f"No terminal punctuation on this line"),
+        (2, f"{good}\nShort one.\nnav"),   # only 1 survivor -> page dropped
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_line_filter(df).toPandas().set_index("doc_id").sort_index()
+    kept1 = out.loc[1, "text_clean"].split("\n")
+    assert kept1 == [
+        good,
+        "Another fine sentence stands right here.",
+        'He said "five words are enough."',
+    ]
+    assert out.loc[1, "lines_n"] == 6 and out.loc[1, "lines_kept"] == 3
+    assert bool(out.loc[1, "keep"])
+    assert out.loc[2, "lines_kept"] == 1 and not out.loc[2, "keep"]
+    for d in (3, 4):
+        assert out.loc[d, "text_clean"] == "" and out.loc[d, "lines_n"] == 0
+        assert not out.loc[d, "keep"]
+    # parameter overrides: min_words=2 admits 'Short one.'
+    loose = c4_line_filter(df, min_words=2, min_lines=2).toPandas().set_index("doc_id")
+    assert loose.loc[2, "lines_kept"] == 2 and bool(loose.loc[2, "keep"])
+
+
+def test_url_canonical_dedup_collapses_equivalent_urls(spark):
+    """Canonicalization: host/scheme case, default ports, fragments,
+    and tracking params normalize away; path case and real params
+    survive; non-urls stay distinct (fragment-stripped only); keeper
+    is the min doc_id per canonical key."""
+    from pcornet_data_curation_spark.operators.urlnorm import url_canonical_dedup
+
+    rows = [
+        (1, "HTTP://WWW.Example.com:80/Path?utm_source=x&a=1#frag"),
+        (2, "http://www.example.com/Path?a=1"),            # same resource as 1
+        (3, "https://Host.org:443"),                       # empty path -> '/'
+        (4, "https://host.org/#top"),                      # same as 3
+        (5, "https://host.org/?utm_a=1&utm_b=2"),          # tracking-only query
+        (6, "http://www.example.com/path?a=1"),            # path CASE differs: distinct
+        (7, "not a url #fragment"),
+        (8, "https://h.io/p?a=1&utm_x=9&b=2"),             # interior tracking param
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_canonical_dedup(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "canonical_url"] == "http://www.example.com/Path?a=1"
+    assert out.loc[2, "canonical_url"] == out.loc[1, "canonical_url"]
+    assert bool(out.loc[1, "is_canonical_keeper"])
+    assert not out.loc[2, "is_canonical_keeper"]
+    assert out.loc[3, "canonical_url"] == "https://host.org/"
+    assert out.loc[4, "canonical_url"] == "https://host.org/"
+    assert out.loc[5, "canonical_url"] == "https://host.org/"
+    assert bool(out.loc[3, "is_canonical_keeper"])
+    assert out.loc[6, "canonical_url"] == "http://www.example.com/path?a=1"
+    assert bool(out.loc[6, "is_canonical_keeper"])
+    assert out.loc[7, "canonical_url"] == "not a url "
+    assert out.loc[8, "canonical_url"] == "https://h.io/p?a=1&b=2"
+
+
+def test_domain_temperature_sample_rates_and_determinism(spark):
+    """keep_rate follows (n_min/n_d)^(1-alpha) exactly; the smallest
+    domain keeps everything; realized keep fractions calibrate to the
+    rate; assignment is partitioning-invariant (deterministic hash,
+    not df.sample)."""
+    from pcornet_data_curation_spark.operators.sampling import (
+        domain_temperature_sample,
+    )
+
+    n = 6000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "web")       # 4800 docs
+        .when(F.col("id") % 10 == 8, "books")     # 600
+        .otherwise("wiki")                        # 600
+        .alias("source"),
+    )
+    a = domain_temperature_sample(df, alpha=0.5, seed=11).toPandas()
+    rates = a.groupby("source")["keep_rate"].first()
+    assert rates["books"] == pytest.approx(1.0)
+    assert rates["wiki"] == pytest.approx(1.0)
+    assert rates["web"] == pytest.approx((600 / 4800) ** 0.5)
+    got = a[a.keep].groupby("source")["doc_id"].count()
+    assert got["web"] / 4800 == pytest.approx(rates["web"], abs=0.03)
+    assert got["books"] == 600 and got["wiki"] == 600
+    # partitioning-invariant
+    b = domain_temperature_sample(df.repartition(13), alpha=0.5, seed=11).toPandas()
+    am = dict(zip(a.doc_id, a.keep))
+    bm = dict(zip(b.doc_id, b.keep))
+    assert am == bm
+    # alpha=1 keeps everything
+    full = domain_temperature_sample(df, alpha=1.0, seed=11).toPandas()
+    assert full["keep"].all()
