@@ -138,7 +138,13 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            q = fn(spark, sf_dir)
+            sdf = q.toPandas()
+            # release operator-attached caches (same post-materialize
+            # hook as bench._sink; see dedup.unpersist_deps)
+            from pcornet_data_curation_spark.operators.dedup import unpersist_deps
+
+            unpersist_deps(q)
         except Exception:
             traceback.print_exc()
             failed.append((name, "spark raised"))
