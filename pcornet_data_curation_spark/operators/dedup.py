@@ -58,6 +58,61 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def dedup_against_snapshot(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-crawl exact dedup: flag every `batch` document whose
+    text already exists in a prior `snapshot` corpus, plus the standard
+    within-batch duplicate flag — the recrawl stage of a continuously
+    curated corpus (the overwhelming majority of a fresh crawl is
+    pages unchanged since the last one; they must be dropped against
+    the SNAPSHOT, not only against each other). Reference analog: the
+    incremental append accumulation + nodupkey pair
+    (data_curation_base.sas) lifted to cross-run granularity.
+
+    Returns `batch` + three columns:
+      in_snapshot  — text present in the snapshot,
+      dup_in_batch — a smaller-id row with the same text exists in the
+                     batch (independent of snapshot membership, so the
+                     two signals stay auditable separately),
+      keep         — ~in_snapshot & ~dup_in_batch (first occurrence of
+                     genuinely new content).
+
+    Scale shape: the snapshot reduces to DISTINCT 8-byte xxhash64
+    fingerprints BEFORE the join (ids-only; a 100 TB snapshot becomes
+    ~8 bytes x distinct docs, and a stored fingerprint table can feed
+    this directly), then one fp equi-join — AQE broadcasts it when the
+    fingerprint set is small and skew-splits when it is not. The
+    within-batch flag is the exact_dedup groupBy(fp).min(id) shape.
+    The batch text payload never shuffles: both joins carry (fp, id)
+    rows only. Hash collisions: xxhash64 is 64-bit — at 10^10 docs the
+    collision expectation is ~10^-9 of pairs, the same accepted trade
+    as exact_dedup/duplicate_groups. NULL text participates as the
+    empty string (the pipeline's NULL-as-empty convention — a NULL fp
+    would silently fall out of the equi-joins)."""
+    fp = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    snap_fps = (
+        snapshot.select(fp.alias("_fp")).distinct().withColumn("_in_snap", F.lit(True))
+    )
+    tagged = batch.withColumn("_fp", fp)
+    survivors = (
+        tagged.select("_fp", F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias("_min_id"))
+    )
+    return (
+        tagged.join(snap_fps, "_fp", "left")
+        .join(survivors, "_fp")
+        .withColumn("in_snapshot", F.coalesce(F.col("_in_snap"), F.lit(False)))
+        .withColumn("dup_in_batch", F.col(id_col) != F.col("_min_id"))
+        .withColumn("keep", ~F.col("in_snapshot") & ~F.col("dup_in_batch"))
+        .drop("_fp", "_in_snap", "_min_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -152,6 +152,74 @@ def domain_temperature_sample(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Keep at most `cap` documents per domain — the hard per-host
+    ceiling crawl curation applies on top of temperature sampling
+    (one mega-host must not dominate the corpus even after rate-based
+    downsampling). Selection is an exact, deterministic uniform random
+    cap: rank documents within a domain by (md5-uniform(id:seed), id)
+    and keep rank <= cap — partitioning-invariant, resume-stable, and
+    engine-portable (the oracle replays the identical ordering).
+
+    Returns the input + (domain_n, keep).
+
+    Scale shape — the naive plan (row_number over
+    Window.partitionBy(domain)) concentrates each domain on ONE
+    executor and sorts it; a bulk 'web' domain holding 80% of a 100 TB
+    corpus is a single-task straggler. Instead, distributed selection
+    by histogram: the uniform hash is pre-bucketed into `n_buckets`
+    prefix buckets (bucket order = hash order, so per-bucket ranks
+    compose into the global ranking), ONE tiny groupBy(domain, bucket)
+    count builds the histogram, a running sum over that aggregated
+    frame (<= n_buckets rows per domain) yields each bucket's starting
+    global rank, and the decision is a single window over
+    (domain, BUCKET) partitions — each ~n_d/n_buckets rows, so the hot
+    domain spreads across n_buckets tasks instead of one:
+
+        keep = cum_before(domain, bucket) + rank_in_bucket <= cap
+
+    One corpus scan, one histogram equi-join (AQE broadcasts it when
+    domains are bounded), one keyed shuffle+sort on the well-spread
+    (domain, bucket) key. Size n_buckets >= n_d_max / target partition
+    rows; the histogram stays tiny (distinct (domain, bucket) pairs
+    actually present)."""
+    u = uniform_hash_col(F.col(id_col), seed)
+    # exact: u = x/2^32 with x < 2^32, so u*n_buckets = x/2^(32-log2 n)
+    # is dyadic and floor() is exact in double precision
+    tagged = df.withColumn("_u", u).withColumn(
+        "_bkt", F.floor(F.col("_u") * n_buckets).cast("int")
+    )
+    hist = tagged.groupBy(
+        F.col(domain_col).alias("_dom"), F.col("_bkt").alias("_hb")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    wb = Window.partitionBy("_dom").orderBy("_hb")
+    dec = hist.select(
+        "_dom",
+        "_hb",
+        (F.sum("_n").over(wb) - F.col("_n")).alias("_cum_before"),
+        F.sum("_n").over(
+            Window.partitionBy("_dom").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("domain_n"),
+    )
+    j = tagged.join(
+        dec,
+        tagged[domain_col].eqNullSafe(dec["_dom"]) & (tagged["_bkt"] == dec["_hb"]),
+    ).drop("_dom", "_hb")
+    wq = Window.partitionBy(domain_col, "_bkt").orderBy("_u", id_col)
+    return j.withColumn(
+        "keep", (F.col("_cum_before") + F.row_number().over(wq)) <= cap
+    ).drop("_u", "_bkt", "_cum_before")
+
+
 def pack_token_shards(
     df: DataFrame,
     tokens_col: str,

@@ -58,6 +58,52 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_chars_sql", F.length(c)).withColumn("n_tokens_sql", toks)
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 1000,
+    min_doc_freq: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary statistics — (token, term_freq, doc_freq) for
+    the top_n tokens by frequency: the input a tokenizer-training /
+    stopword-induction / corpus-drift stage reads (term_freq drives
+    BPE merges and vocab selection; doc_freq separates ubiquitous
+    glue words from hot-in-few-docs boilerplate). Tokens are
+    whitespace tokens of the normalized text (lowercased by default;
+    pass lowercase=False for a case-sensitive vocabulary). Output is
+    totally ordered by (term_freq desc, token) so the top_n cut is
+    deterministic.
+
+    Scale shape: explode → TWO-LEVEL aggregation. Level 1 groups by
+    (token, doc) — its map-side partial agg collapses within-doc
+    repeats before the only corpus-sized exchange, and doc_freq then
+    falls out as a plain count (never a countDistinct over raw token
+    rows, whose partial state IS the distinct pair set). Level 2
+    groups by token over the already-(token,doc)-distinct rows, where
+    hot tokens ('the' in every English doc) collapse map-side again.
+    The final top_n is a TakeOrderedAndProject (no global sort). The
+    shuffled rows are (token, doc-id/count) pairs — the text payload
+    never moves."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        c = F.lower(c)
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(c)).alias("token")
+    ).where(F.col("token") != "")
+    per_doc = exploded.groupBy("token", "_id").agg(
+        F.count(F.lit(1)).alias("_tf_doc")
+    )
+    out = per_doc.groupBy("token").agg(
+        F.sum("_tf_doc").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    if min_doc_freq > 1:
+        out = out.where(F.col("doc_freq") >= min_doc_freq)
+    return out.orderBy(F.col("term_freq").desc(), "token").limit(top_n)
+
+
 _MARKERS = {
     "en": ["the", "and", "of"],
     "de": ["der", "und", "die"],

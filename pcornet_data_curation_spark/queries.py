@@ -2186,6 +2186,139 @@ FROM base b JOIN r USING (domain)
 """
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (textanalysis.vocab_stats): top-200
+    tokens by (term_freq desc, token) with per-token doc_freq — the
+    tokenizer-training / stopword-induction input. Both engines run
+    the identical lowercase + whitespace-normalize + split chain and
+    the same two-level (token, doc) → token aggregation; the top-200
+    cut is deterministic because the ordering is total. The natural
+    sf0.01 vocabulary is only ~31 tokens, so the fixture appends a
+    long-tail marker token (m<doc_id%251>) to every doc — the top-200
+    cut then really binds and the (term_freq desc, token) tie-break
+    inside the equal-frequency tail is value-checked too."""
+    from pcornet_data_curation_spark.operators.textanalysis import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    mtext = F.concat_ws(
+        " ",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.concat(F.lit("m"), (F.col("doc_id") % 251).cast("string")),
+    )
+    return vocab_stats(docs.select("doc_id", mtext.alias("text")), top_n=200)
+
+
+SQL_VOCAB_STATS = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' m' || CAST(doc_id % 251 AS VARCHAR) AS text
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(string_split(
+           trim(regexp_replace(lower(text), '{WS_SQL}', ' ', 'g')),
+           ' ')) AS token
+  FROM d
+),
+t AS (SELECT doc_id, token FROM ex WHERE token <> ''),
+pd AS (SELECT token, doc_id, COUNT(*) AS tfd FROM t GROUP BY 1, 2),
+v AS (
+  SELECT token, SUM(tfd) AS term_freq, COUNT(*) AS doc_freq
+  FROM pd GROUP BY 1
+)
+SELECT token, CAST(term_freq AS BIGINT) AS term_freq,
+       CAST(doc_freq AS BIGINT) AS doc_freq
+FROM v ORDER BY term_freq DESC, token LIMIT 200
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain hard cap (sampling.domain_cap): at most 37 docs per
+    domain, selected by the deterministic (md5-uniform, id) rank. The
+    fixture reuses the long-tail mix (80% 'web' bulk domain + per-
+    source tail) so the bulk domain exercises the histogram boundary
+    path (n_buckets=16 → the boundary bucket really fills a partial
+    quota at sf0.01) while the tail domains take the all-keep path.
+    The oracle replays the naive global row_number rank — the
+    histogram selection must produce the IDENTICAL keep set."""
+    from pcornet_data_curation_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = F.when(F.col("doc_id") % 5 != 0, F.lit("web")).otherwise(F.col("source"))
+    base = docs.select("doc_id", dom.alias("domain"))
+    return domain_cap(base, domain_col="domain", cap=37, seed=3, n_buckets=16).select(
+        "doc_id", "domain", "domain_n", "keep"
+    )
+
+
+SQL_DOMAIN_CAP = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 <> 0 THEN 'web' ELSE source END AS domain
+  FROM documents
+),
+u AS (
+  SELECT doc_id, domain,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM base
+),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY u, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY domain) AS domain_n
+  FROM u
+)
+SELECT doc_id, domain, CAST(domain_n AS BIGINT) AS domain_n, rn <= 37 AS keep
+FROM r
+"""
+
+
+def q_dedup_against_snapshot(spark, sf_dir):
+    """Incremental-crawl dedup (dedup.dedup_against_snapshot): the
+    snapshot is every documents row with doc_id % 4 = 0 (its text);
+    the batch is the full table plus re-crawled copies (doc_id % 7
+    rows re-keyed +1,000,000), so all three flag combinations occur:
+    unchanged pages (in_snapshot), within-batch re-crawl copies
+    (dup_in_batch), and genuinely new content (keep). The oracle
+    replays the same semantics keyed on text equality (the fp is an
+    engine hash; semantics are text identity)."""
+    from pcornet_data_curation_spark.operators.dedup import dedup_against_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snapshot = docs.where(F.col("doc_id") % 4 == 0)
+    batch = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    return dedup_against_snapshot(batch, snapshot).select(
+        "doc_id", "in_snapshot", "dup_in_batch", "keep"
+    )
+
+
+SQL_DEDUP_AGAINST_SNAPSHOT = """
+WITH snap AS (
+  SELECT DISTINCT coalesce(text, '') AS text FROM documents WHERE doc_id % 4 = 0
+),
+batch AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, coalesce(text, '') FROM documents WHERE doc_id % 7 = 0
+),
+m AS (
+  SELECT b.doc_id,
+         b.text IN (SELECT text FROM snap) AS in_snapshot,
+         b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.text) AS dup_in_batch
+  FROM batch b
+)
+SELECT doc_id, in_snapshot, dup_in_batch,
+       NOT in_snapshot AND NOT dup_in_batch AS keep
+FROM m
+"""
+
+
 def q_pack_token_shards(spark, sf_dir):
     """Token-budget shard packing: assign documents to ~5000-char
     training shards per source, greedily in doc_id order (running-sum
@@ -3030,9 +3163,15 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_domain_temperature_sample,
         SQL_DOMAIN_TEMPERATURE_SAMPLE,
     ),
-    # sampling.py gained domain_temperature_sample this round — its
-    # whole-module pins broke, so the three sampling entries rotate
-    # back into the window:
+    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "dedup_against_snapshot": (
+        q_dedup_against_snapshot,
+        SQL_DEDUP_AGAINST_SNAPSHOT,
+    ),
+    # sampling.py gained domain_temperature_sample + domain_cap this
+    # round — its whole-module pins broke, so the three sampling
+    # entries rotate back into the window:
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
@@ -3062,15 +3201,15 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "scrub_email": (q_scrub_email, SQL_SCRUB_EMAIL),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "tag_profile_orders": (q_tag_profile_orders, SQL_TAG_PROFILE_ORDERS),
     "npct_returnflag": (q_npct_returnflag, SQL_NPCT_RETURNFLAG),
-    "npct_noref_event_type": (q_npct_noref_event_type, SQL_NPCT_NOREF_EVENT_TYPE),
     # ---- positions 51+: past the driver's 50-entry observation ----
     # window; every entry below has a green CORRECTNESS_r03/r04 row and
     # untouched implementing code (enforced by registry_pins.json).
-    # Rotated out in r05 second batch (hash-green r04, reports.py and
-    # their builders untouched this round):
+    # Rotated out in r05 (hash-green r04, reports.py and their
+    # builders untouched this round):
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "tag_profile_orders": (q_tag_profile_orders, SQL_TAG_PROFILE_ORDERS),
+    "npct_noref_event_type": (q_npct_noref_event_type, SQL_NPCT_NOREF_EVENT_TYPE),
     "cont_stats_quantity": (q_cont_stats_quantity, SQL_CONT_STATS_QUANTITY),
     "cont_stats_full": (q_cont_stats_full, SQL_CONT_STATS_FULL),
     "crosstab3_orders": (q_crosstab3_orders, SQL_CROSSTAB3_ORDERS),
@@ -3177,6 +3316,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "extract_text_lines", "stratified_sample", "hash_split",
         "nfc_normalize", "span_dedup", "span_dedup_cdc", "line_dedup",
         "c4_line_filter", "url_canonicalize", "domain_temperature_sample",
+        "vocab_stats", "domain_cap", "dedup_against_snapshot",
         "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",

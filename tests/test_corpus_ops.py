@@ -426,3 +426,96 @@ def test_domain_temperature_sample_rates_and_determinism(spark):
     # alpha=1 keeps everything
     full = domain_temperature_sample(df, alpha=1.0, seed=11).toPandas()
     assert full["keep"].all()
+
+
+def test_vocab_stats_two_level_agg_and_cut(spark):
+    """term_freq counts every occurrence, doc_freq counts documents
+    once; lowercase folds case; the top_n cut follows the total
+    (term_freq desc, token) order; min_doc_freq filters hapax-per-doc
+    noise; case-sensitive mode keeps case distinct."""
+    from pcornet_data_curation_spark.operators.textanalysis import vocab_stats
+
+    rows = [
+        (1, "The cat saw the cat"),
+        (2, "a cat naps"),
+        (3, "THE end"),
+        (4, None),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_stats(df, top_n=10).toPandas().set_index("token")
+    assert out.loc["the", "term_freq"] == 3 and out.loc["the", "doc_freq"] == 2
+    assert out.loc["cat", "term_freq"] == 3 and out.loc["cat", "doc_freq"] == 2
+    assert out.loc["a", "doc_freq"] == 1
+    # deterministic order: ties by token ascending after term_freq desc
+    ordered = vocab_stats(df, top_n=3).toPandas()["token"].tolist()
+    assert ordered == ["cat", "the", "a"]
+    # min_doc_freq drops single-doc tokens
+    md = vocab_stats(df, min_doc_freq=2).toPandas()["token"].tolist()
+    assert sorted(md) == ["cat", "the"]
+    cs = vocab_stats(df, lowercase=False, top_n=20).toPandas().set_index("token")
+    assert cs.loc["The", "term_freq"] == 1 and cs.loc["THE", "term_freq"] == 1
+
+
+def test_domain_cap_matches_naive_rank_and_boundary_path(spark):
+    """The histogram selection must equal the naive global
+    row_number rank exactly — including inside the boundary bucket —
+    and under-cap domains keep everything."""
+    import hashlib
+
+    from pcornet_data_curation_spark.operators.sampling import domain_cap
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 20 < 19, "bulk").otherwise("tail").alias("source"),
+    )
+    out = domain_cap(df, cap=137, seed=5, n_buckets=8).toPandas()
+    assert len(out) == 2000  # no row lost in the three-way union
+
+    def u(i):
+        return int(hashlib.md5(f"{i}:5".encode()).hexdigest()[:8], 16) / 2**32
+
+    out["u"] = out.doc_id.map(u)
+    for dom, g in out.groupby("source"):
+        naive = set(g.sort_values(["u", "doc_id"]).head(137).doc_id)
+        got = set(g[g.keep].doc_id)
+        assert got == naive, dom
+    assert (out[out.source == "bulk"]["domain_n"] == 1900).all()
+    # under-cap domain: all kept (the all-keep path, no window at all)
+    assert out[out.source == "tail"]["keep"].all()
+    # partitioning-invariance
+    out2 = domain_cap(df.repartition(17), cap=137, seed=5, n_buckets=8).toPandas()
+    assert dict(zip(out.doc_id, out.keep)) == dict(zip(out2.doc_id, out2.keep))
+
+
+def test_dedup_against_snapshot_flags(spark):
+    """in_snapshot and dup_in_batch are independent signals; keep is
+    their conjunction; NULL text folds to '' (both flagged against an
+    empty-text snapshot entry); the snapshot side never needs ids."""
+    from pcornet_data_curation_spark.operators.dedup import dedup_against_snapshot
+
+    snap = spark.createDataFrame(
+        [(900, "old page"), (901, ""), (902, "old page")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "old page"),     # unchanged since snapshot
+            (2, "new page"),     # fresh, first occurrence
+            (3, "new page"),     # within-batch dup of 2
+            (4, None),           # NULL -> '' -> in snapshot
+            (5, "old page"),     # in snapshot AND batch-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        dedup_against_snapshot(batch, snap)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert bool(out.loc[1, "in_snapshot"]) and not out.loc[1, "dup_in_batch"]
+    assert not out.loc[2, "in_snapshot"] and not out.loc[2, "dup_in_batch"]
+    assert bool(out.loc[2, "keep"])
+    assert out.loc[3, "dup_in_batch"] and not out.loc[3, "keep"]
+    assert bool(out.loc[4, "in_snapshot"]) and not out.loc[4, "keep"]
+    assert bool(out.loc[5, "in_snapshot"]) and bool(out.loc[5, "dup_in_batch"])
+    assert list(out["keep"]) == [False, True, False, False, False]
