@@ -51,6 +51,13 @@ HEADLINE = [
     "url_filter",
     "extract_text",
     "extract_text_lines",
+    "line_dedup",
+    "c4_line_filter",
+    "url_canonicalize",
+    "domain_temperature_sample",
+    "domain_cap",
+    "vocab_stats",
+    "dedup_against_snapshot",
     "decontaminate_remove",
     "verdict_documents",
     "scrub_full",

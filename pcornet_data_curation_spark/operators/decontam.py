@@ -115,13 +115,19 @@ def decontaminate_remove(
     span. One row per input doc: (id, text_decontaminated, tokens_n,
     removed_tokens_n, contaminated).
 
-    Scale shape mirrors contamination_flags (the benchmark gram set
-    broadcasts; the corpus shuffles only doc-keyed): gram ANCHOR
-    positions explode → broadcast-probe → each hit expands to its k
-    covered positions (k rows per hit, k=13) → distinct → one anti-join
-    removes covered tokens → one doc-keyed aggregation reassembles the
-    text in token order. Reuses the span-dedup reassembly discipline
-    (sort-by-index collect per doc, bounded by document size); all JVM
+    Scale shape: the benchmark gram set broadcasts (same routing as
+    contamination_flags) and token rows never exist as a relation —
+    gram ANCHOR positions explode (ONE tokenize+shingle pass, the
+    dominant cost) → broadcast-probe → hit anchors collapse to ONE
+    small int-array per contaminated doc → that tiny frame joins back
+    doc-keyed (AQE broadcasts it when contamination is sparse, the
+    production case) → covered-index expansion, token filtering, and
+    text reassembly are all per-doc ARRAY algebra inside the same
+    projection. No token-level shuffle anywhere: the only wide ops are
+    the anchor-hit groupBy (hits only) and the doc-keyed rate join.
+    The token array is recomputed on the join side rather than
+    persisted — two normalize passes total; caching a tokenized
+    10^12-doc corpus would cost more than the recompute. All JVM
     Column algebra, no UDF."""
     bench_grams = (
         bench.where(F.col(bench_text_col).isNotNull())
@@ -129,9 +135,8 @@ def decontaminate_remove(
         .distinct()
     )
     n_bench_docs = bench.count()
-    marked = bench_grams.withColumn("_hit", F.lit(1))
     if n_bench_docs * max_grams_per_doc <= broadcast_max_grams:
-        marked = F.broadcast(marked)
+        bench_grams = F.broadcast(bench_grams)
 
     norm = F.trim(
         F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS, " ")
@@ -140,7 +145,6 @@ def decontaminate_remove(
         F.split(norm, " ")
     )
     base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    tokens = base.select("_id", F.posexplode("_toks").alias("_idx", "_tok"))
     # anchor i covers tokens [i, i+k): NON-distinct grams here — every
     # occurrence of a leaked gram marks its own span
     n = F.size(F.col("_toks"))
@@ -153,30 +157,35 @@ def decontaminate_remove(
             ).otherwise(F.array().cast("array<bigint>"))
         ).alias("_i", "gram"),
     )
-    removed = (
-        grams.join(marked, "gram")
-        .select("_id", F.explode(F.sequence(F.col("_i"), F.col("_i") + (k - 1))).alias("_idx"))
-        .distinct()
+    hits = (
+        grams.join(bench_grams, "gram")
+        .groupBy("_id")
+        .agg(F.collect_set("_i").alias("_anchors"))
     )
-    kept = tokens.join(removed, ["_id", "_idx"], "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("_idx"), F.col("_tok")))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("text_decontaminated"),
-        F.count(F.lit(1)).alias("_kept_n"),
+    covered = F.coalesce(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.col("_anchors"), lambda a: F.sequence(a, a + (k - 1)))
+                )
+            )
+        ),
+        F.array().cast("array<int>"),
     )
-    totals = base.select("_id", F.size("_toks").alias("tokens_n"))
-    out = totals.join(rebuilt, "_id", "left").na.fill(
-        {"text_decontaminated": "", "_kept_n": 0}
-    )
-    return out.select(
-        F.col("_id").alias(id_col),
-        "text_decontaminated",
-        "tokens_n",
-        (F.col("tokens_n") - F.col("_kept_n")).cast("long").alias("removed_tokens_n"),
-        (F.col("tokens_n") > F.col("_kept_n")).alias("contaminated"),
+    return (
+        base.join(hits, "_id", "left")
+        .withColumn("_covered", covered)
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(
+                F.filter(
+                    F.col("_toks"),
+                    lambda t, i: ~F.array_contains(F.col("_covered"), i),
+                ),
+                " ",
+            ).alias("text_decontaminated"),
+            F.size("_toks").alias("tokens_n"),
+            F.size("_covered").cast("long").alias("removed_tokens_n"),
+            (F.size("_covered") > 0).alias("contaminated"),
+        )
     )

@@ -226,6 +226,16 @@ def minhash_lsh_pairs(
     return out
 
 
+def carry_deps(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Propagate ``_persisted_deps`` through a derived frame:
+    ``df.select(...)`` constructs a NEW Python object, silently
+    dropping the attribute — a caller that then calls unpersist_deps
+    on the projection releases nothing. Wrap the final projection:
+    ``return carry_deps(res, res.select(...))``."""
+    dst._persisted_deps = getattr(src, "_persisted_deps", [])
+    return dst
+
+
 def unpersist_deps(df: DataFrame) -> None:
     """Release caches a pairing operator persisted for its own
     multi-read plan (attached as ``df._persisted_deps``). Call after

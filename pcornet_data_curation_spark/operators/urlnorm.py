@@ -37,22 +37,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # one (pattern, replacement) spec drives BOTH engines (the LINES_STEPS
-# convention from operators/extract.py) — applied to the part AFTER
-# the authority. Order is load-bearing.
+# convention from operators/extract.py) — applied to the QUERY STRING
+# ONLY ('?...', split from the path first): '&' is a legal PATH
+# character (RFC 3986 pchar includes sub-delims), so a path-scoped
+# replacement would strip '/p&utm_source=feed' down to '/p' and
+# collapse two genuinely distinct resources onto one canonical key.
+# Order is load-bearing.
 _TRACKING = "(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref_src)"
-REST_STEPS: tuple[tuple[str, str], ...] = (
-    # 1. fragment goes first (so tracking params adjacent to '#' tidy)
-    ("#.*$", ""),
-    # 2. NON-LEADING tracking params take their '&' with them — after
+QUERY_STEPS: tuple[tuple[str, str], ...] = (
+    # 1. NON-LEADING tracking params take their '&' with them — after
     #    this pass at most one tracking param remains, right after '?'
-    ("&" + _TRACKING + "=[^&#]*", ""),
-    # 3. leading tracking param followed by a real param: '&' -> '?'
-    ("\\?" + _TRACKING + "=[^&#]*&", "?"),
-    # 4. leading tracking param alone: the whole query goes
-    ("\\?" + _TRACKING + "=[^&#]*$", ""),
-    # 5. tidy a dangling tail ('/p?' from an already-empty query)
+    ("&" + _TRACKING + "=[^&]*", ""),
+    # 2. leading tracking param followed by a real param: '&' -> '?'
+    ("^\\?" + _TRACKING + "=[^&]*&", "?"),
+    # 3. leading tracking param alone: the whole query goes
+    ("^\\?" + _TRACKING + "=[^&]*$", ""),
+    # 4. tidy a dangling tail ('?' / '?&' from an already-empty query)
     ("[?&]+$", ""),
 )
+
+# fragment strip (applied to the whole after-authority part BEFORE the
+# path/query split — never sent to the server, RFC 3986 §3.5)
+FRAGMENT_STEP: tuple[str, str] = ("#.*$", "")
+
+# path/query split of the (fragment-stripped) after-authority part
+_REST_PATH_RE = "^([^?]*)"
+_REST_QUERY_RE = "^[^?]*(\\?.*)$"
 
 # authority = scheme://host[:port] (host may be a bracketed IPv6
 # literal); group 2 = everything after it (path?query#fragment)
@@ -75,12 +85,15 @@ def canonical_url_col(url: Column) -> Column:
     a = F.lower(auth)
     for pat, rep in AUTH_STEPS:
         a = F.regexp_replace(a, pat, rep)
-    r = rest
-    for pat, rep in REST_STEPS:
-        r = F.regexp_replace(r, pat, rep)
+    nf = F.regexp_replace(rest, FRAGMENT_STEP[0], FRAGMENT_STEP[1])
+    path = F.regexp_extract(nf, _REST_PATH_RE, 1)
+    q = F.regexp_extract(nf, _REST_QUERY_RE, 1)
+    for pat, rep in QUERY_STEPS:
+        q = F.regexp_replace(q, pat, rep)
+    r = F.concat(path, q)
     r = F.when(r == "", F.lit("/")).otherwise(r)
     return F.when(
-        auth == "", F.regexp_replace(url, "#.*$", "")
+        auth == "", F.regexp_replace(url, FRAGMENT_STEP[0], FRAGMENT_STEP[1])
     ).otherwise(F.concat(a, r))
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pcornet_data_curation_spark.functions.scrub import scrub_column
 from pcornet_data_curation_spark.operators import textanalysis as TA
 from pcornet_data_curation_spark.operators.dedup import (
+    carry_deps,
     duplicate_groups,
     exact_dedup,
     minhash_lsh_pairs,
@@ -1129,9 +1130,8 @@ def q_minhash_pairs(spark, sf_dir):
     leave ≥4 bands fully identical (pigeonhole), so content-equality
     banding (oracle) and band-hash banding (engine) emit the same
     final pair set."""
-    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.8).select(
-        "id_a", "id_b"
-    )
+    res = minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.8)
+    return carry_deps(res, res.select("id_a", "id_b"))
 
 
 def _oracle_docs_with_dups() -> list[tuple[int, str | None]]:
@@ -1192,9 +1192,8 @@ def q_simhash_pairs(spark, sf_dir):
     exact 16-bit slices on both sides, and the pigeonhole guarantee
     (≤3 flips leave ≥1 of 4 bands identical) makes the candidate sets
     identical; the hamming verify is bit_count(xor) in both engines."""
-    return simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3).select(
-        "id_a", "id_b"
-    )
+    res = simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    return carry_deps(res, res.select("id_a", "id_b"))
 
 
 def _sql_simhash_pairs() -> str:
@@ -1984,20 +1983,31 @@ def q_c4_line_filter(spark, sf_dir):
     """C4 line-level cleaning (operators/c4.c4_line_filter): keep only
     lines ending in terminal punctuation with >= 5 words and no
     'javascript' mention; page keep = >= 3 surviving lines (Raffel et
-    al. 2020 §2.2). The fixture gives every doc five lines — its own
-    text with a terminal period (passes iff >= 5 words), one always-
-    good sentence, a short nav stub, a JavaScript nag, and a
-    quote-terminated 5-word line — so lines_kept and the page verdict
-    both vary; the oracle replays the identical predicate from the
-    module's own constants."""
+    al. 2020 §2.2). The fixture gives every doc five lines: a LEAD
+    LINE whose verdict rotates by doc_id — the doc's own text with a
+    terminal period (passes), a 2-word stub (fails min_words), the
+    bare text with no terminal punctuation (fails the punct rule), or
+    the text with a javascript mention (fails the content rule) — plus
+    one always-good sentence, a short nav stub, a JavaScript nag, and
+    a quote-terminated 5-word line. lines_kept is therefore 2 or 3 and
+    `keep` crosses the >= min_lines boundary in BOTH directions, so an
+    off-by-one in any threshold flips hashed values; the oracle
+    replays the identical predicate from the module's own constants."""
     from pcornet_data_curation_spark.operators.c4 import c4_line_filter
 
     docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
     norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
     src = F.coalesce(F.col("source"), F.lit(""))
+    lead = (
+        F.when(d % 4 == 0, F.concat(norm, F.lit(".")))
+        .when(d % 4 == 1, F.lit("Too short."))
+        .when(d % 4 == 2, norm)
+        .otherwise(F.concat(norm, F.lit(" javascript required.")))
+    )
     mtext = F.concat_ws(
         "\n",
-        F.concat(norm, F.lit(".")),
+        lead,
         F.lit("The quick brown fox jumps over the lazy dog."),
         F.lit("Read more"),
         F.lit("Enable JavaScript to view this page properly."),
@@ -2026,7 +2036,10 @@ WITH d AS (
 ),
 lx AS (
   SELECT doc_id,
-         norm || '.' || chr(10) ||
+         (CASE WHEN doc_id % 4 = 0 THEN norm || '.'
+               WHEN doc_id % 4 = 1 THEN 'Too short.'
+               WHEN doc_id % 4 = 2 THEN norm
+               ELSE norm || ' javascript required.' END) || chr(10) ||
          'The quick brown fox jumps over the lazy dog.' || chr(10) ||
          'Read more' || chr(10) ||
          'Enable JavaScript to view this page properly.' || chr(10) ||
@@ -2067,10 +2080,12 @@ def q_url_canonicalize(spark, sf_dir):
     stripped, tracking params removed, canonical-key keeper = min
     doc_id. The fixture synthesizes six deterministic url shapes from
     doc_id — messy/clean pairs of the same resource (case+port+utm vs
-    bare; :443 vs bare with fragment), a tracking-only query, and a
-    non-url fallback — so canonical collisions and keeper choice are
-    all value-hash-checked; the oracle replays the module's own
-    AUTH_STEPS/REST_STEPS chains."""
+    bare; :443 vs bare with fragment), a tracking-only query, a
+    tracking-LOOKALIKE in the PATH ('&' is a legal path char and must
+    survive — the query-scoped-steps regression pin), and a non-url
+    fallback — so canonical collisions and keeper choice are all
+    value-hash-checked; the oracle replays the module's own
+    AUTH_STEPS/QUERY_STEPS chains."""
     from pcornet_data_curation_spark.operators.urlnorm import url_canonical_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -2078,19 +2093,21 @@ def q_url_canonicalize(spark, sf_dir):
     s = d.cast("string")
     prev = (d - 1).cast("string")
     url = (
-        F.when(d % 6 == 0, F.concat(F.lit("HTTP://WWW.Example.com:80/p/"), s, F.lit("?utm_source=feed&x=1#sec")))
-        .when(d % 6 == 1, F.concat(F.lit("http://www.example.com/p/"), prev, F.lit("?x=1")))
-        .when(d % 6 == 2, F.concat(F.lit("https://Blog.Example.org:443/post/"), s))
-        .when(d % 6 == 3, F.concat(F.lit("https://blog.example.org/post/"), prev, F.lit("#frag")))
-        .when(d % 6 == 4, F.concat(F.lit("https://shop.example.net/item?utm_a=1&utm_b=2&q="), s))
+        F.when(d % 7 == 0, F.concat(F.lit("HTTP://WWW.Example.com:80/p/"), s, F.lit("?utm_source=feed&x=1#sec")))
+        .when(d % 7 == 1, F.concat(F.lit("http://www.example.com/p/"), prev, F.lit("?x=1")))
+        .when(d % 7 == 2, F.concat(F.lit("https://Blog.Example.org:443/post/"), s))
+        .when(d % 7 == 3, F.concat(F.lit("https://blog.example.org/post/"), prev, F.lit("#frag")))
+        .when(d % 7 == 4, F.concat(F.lit("https://shop.example.net/item?utm_a=1&utm_b=2&q="), s))
+        .when(d % 7 == 5, F.concat(F.lit("https://shop.example.net/p&utm_source="), s))
         .otherwise(F.concat(F.lit("mailto:user"), s, F.lit("@example.com#x")))
     )
     return url_canonical_dedup(docs.select("doc_id", url.alias("url")))
 
 
 def _sql_url_canonicalize() -> str:
-    """Oracle generated from urlnorm's own AUTH_STEPS/REST_STEPS and
-    authority-split regex; '$1' backrefs translate to DuckDB's '\\1'."""
+    """Oracle generated from urlnorm's own AUTH_STEPS/QUERY_STEPS,
+    fragment step, and path/query split regexes; '$1' backrefs
+    translate to DuckDB's '\\1'."""
     from pcornet_data_curation_spark.operators import urlnorm as UN
 
     def _q(s: str) -> str:
@@ -2099,34 +2116,43 @@ def _sql_url_canonicalize() -> str:
     a = "lower(auth)"
     for pat, rep in UN.AUTH_STEPS:
         a = f"regexp_replace({a}, {_q(pat)}, {_q(rep.replace('$', chr(92)))}, 'g')"
-    r = "rest"
-    for pat, rep in UN.REST_STEPS:
-        r = f"regexp_replace({r}, {_q(pat)}, {_q(rep)}, 'g')"
+    q = "q"
+    for pat, rep in UN.QUERY_STEPS:
+        q = f"regexp_replace({q}, {_q(pat)}, {_q(rep)}, 'g')"
     split = _q(UN._AUTH_SPLIT_RE)
+    frag_pat, frag_rep = UN.FRAGMENT_STEP
     return f"""
 WITH base AS (
   SELECT doc_id,
-    CASE WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.Example.com:80/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&x=1#sec'
-         WHEN doc_id % 6 = 1 THEN 'http://www.example.com/p/' || CAST(doc_id - 1 AS VARCHAR) || '?x=1'
-         WHEN doc_id % 6 = 2 THEN 'https://Blog.Example.org:443/post/' || CAST(doc_id AS VARCHAR)
-         WHEN doc_id % 6 = 3 THEN 'https://blog.example.org/post/' || CAST(doc_id - 1 AS VARCHAR) || '#frag'
-         WHEN doc_id % 6 = 4 THEN 'https://shop.example.net/item?utm_a=1&utm_b=2&q=' || CAST(doc_id AS VARCHAR)
+    CASE WHEN doc_id % 7 = 0 THEN 'HTTP://WWW.Example.com:80/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&x=1#sec'
+         WHEN doc_id % 7 = 1 THEN 'http://www.example.com/p/' || CAST(doc_id - 1 AS VARCHAR) || '?x=1'
+         WHEN doc_id % 7 = 2 THEN 'https://Blog.Example.org:443/post/' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 7 = 3 THEN 'https://blog.example.org/post/' || CAST(doc_id - 1 AS VARCHAR) || '#frag'
+         WHEN doc_id % 7 = 4 THEN 'https://shop.example.net/item?utm_a=1&utm_b=2&q=' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 7 = 5 THEN 'https://shop.example.net/p&utm_source=' || CAST(doc_id AS VARCHAR)
          ELSE 'mailto:user' || CAST(doc_id AS VARCHAR) || '@example.com#x' END AS url
   FROM documents
 ),
 parts AS (
   SELECT doc_id, url,
          regexp_extract(url, {split}, 1) AS auth,
-         regexp_extract(url, {split}, 2) AS rest
+         regexp_replace(regexp_extract(url, {split}, 2),
+                        {_q(frag_pat)}, {_q(frag_rep)}, 'g') AS nf
   FROM base
+),
+pq AS (
+  SELECT doc_id, url, auth,
+         regexp_extract(nf, {_q(UN._REST_PATH_RE)}, 1) AS path,
+         regexp_extract(nf, {_q(UN._REST_QUERY_RE)}, 1) AS q
+  FROM parts
 ),
 canon AS (
   SELECT doc_id, url,
-         CASE WHEN auth = '' THEN regexp_replace(url, '#.*$', '', 'g')
+         CASE WHEN auth = '' THEN regexp_replace(url, {_q(frag_pat)}, {_q(frag_rep)}, 'g')
               ELSE {a} ||
-                   (CASE WHEN {r} = '' THEN '/' ELSE {r} END)
+                   (CASE WHEN path || {q} = '' THEN '/' ELSE path || {q} END)
          END AS canonical_url
-  FROM parts
+  FROM pq
 )
 SELECT doc_id, url, canonical_url,
        doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
@@ -2144,7 +2170,10 @@ def q_domain_temperature_sample(spark, sf_dir):
     so expected kept counts follow n_d^a — the multilingual/multi-
     source mixing law. The documents table's sources are perfectly
     balanced, so the fixture makes a long-tail mix (80% of docs in one
-    'web' bulk domain, the rest in their per-source tail); keep_rate
+    'web' bulk domain, the rest in their per-source tail, and every
+    other tail doc gets a NULL domain so the operator's eqNullSafe
+    rate join — NULL-domain docs form their own group and keep a real
+    keep_rate — is value-checked, not just documented); keep_rate
     is compared as floor-of-basis-points (pow is not guaranteed
     correctly rounded across engines; the raw double stays in the
     keep decision where a 1-ulp flip has ~2^-52 probability mass)."""
@@ -2153,7 +2182,11 @@ def q_domain_temperature_sample(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    dom = F.when(F.col("doc_id") % 5 != 0, F.lit("web")).otherwise(F.col("source"))
+    dom = (
+        F.when(F.col("doc_id") % 5 != 0, F.lit("web"))
+        .when(F.col("doc_id") % 10 == 5, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+    )
     base = docs.select("doc_id", dom.alias("domain"))
     out = domain_temperature_sample(base, domain_col="domain", alpha=0.5, seed=7)
     return out.select(
@@ -2168,7 +2201,9 @@ def q_domain_temperature_sample(spark, sf_dir):
 SQL_DOMAIN_TEMPERATURE_SAMPLE = """
 WITH base AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 5 <> 0 THEN 'web' ELSE source END AS domain
+         CASE WHEN doc_id % 5 <> 0 THEN 'web'
+              WHEN doc_id % 10 = 5 THEN NULL
+              ELSE source END AS domain
   FROM documents
 ),
 c AS (SELECT domain, COUNT(*) AS domain_n FROM base GROUP BY 1),
@@ -2182,7 +2217,11 @@ SELECT b.doc_id, b.domain, r.domain_n,
        CAST(floor(r.keep_rate * 10000) AS BIGINT) AS keep_rate_bp,
        CAST(concat('0x', substring(md5(CAST(b.doc_id AS VARCHAR) || ':7'), 1, 8))
             AS BIGINT) / 4294967296.0 < r.keep_rate AS keep
-FROM base b JOIN r USING (domain)
+-- NULL-safe join: the Spark operator joins rates back with eqNullSafe,
+-- so a NULL-domain doc (NULL source) gets its own group's real
+-- keep_rate; USING(domain) would silently drop such rows and the
+-- cross-engine check would diverge the day a fixture has NULL sources
+FROM base b JOIN r ON b.domain IS NOT DISTINCT FROM r.domain
 """
 
 
@@ -2743,9 +2782,8 @@ def q_embedding_dup_pairs(spark, sf_dir):
     dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
-    return embedding_dup_pairs(emb.unionByName(dups), threshold=0.95).select(
-        "id_a", "id_b"
-    )
+    res = embedding_dup_pairs(emb.unionByName(dups), threshold=0.95)
+    return carry_deps(res, res.select("id_a", "id_b"))
 
 
 SQL_EMBEDDING_DUP_PAIRS = """
@@ -2787,9 +2825,10 @@ def q_embedding_dup_pairs_lsh(spark, sf_dir):
     dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
-    return embedding_dup_pairs(
+    res = embedding_dup_pairs(
         emb.unionByName(dups), threshold=0.95, n_planes=12, dim=64
-    ).select("id_a", "id_b")
+    )
+    return carry_deps(res, res.select("id_a", "id_b"))
 
 
 def _lsh_bucket_bits_sql(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
@@ -2856,9 +2895,10 @@ def q_embedding_dup_pairs_multiseed(spark, sf_dir):
     dups = emb.where(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
-    return embedding_dup_pairs_multiseed(
+    res = embedding_dup_pairs_multiseed(
         emb.unionByName(dups), threshold=0.95, n_planes=12, dim=64
-    ).select("id_a", "id_b")
+    )
+    return carry_deps(res, res.select("id_a", "id_b"))
 
 
 def _sql_multiseed_pairs() -> str:
@@ -2931,10 +2971,11 @@ def q_url_filter(spark, sf_dir):
     bl = spark.createDataFrame(
         [("src3.example.org",), ("spam.example.net",)], "domain string"
     )
-    return url_filter(base, bl).select(
+    res = url_filter(base, bl)
+    return carry_deps(res, res.select(
         "doc_id", "url", "host", "blocked_host", "url_keyword", "ip_host",
         "non_ascii_host", "url_too_long", "url_too_many_params", "url_keep",
-    )
+    ))
 
 
 SQL_URL_FILTER = r"""

@@ -53,6 +53,20 @@ BANDS_SUBDIR = "bands"
 SIGS_SUBDIR = "sigs"
 
 
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the configured Hadoop FileSystem — the
+    store lives on distributed storage in production (hdfs:// / s3a://)
+    where a driver-local os.path.exists is always False and would
+    silently disable cross-batch dedup (every batch would then flag
+    within-batch only while still writing the store — no error
+    anywhere). Resolving the path against the session's Hadoop conf
+    covers local paths too."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hp))
+
+
 def _band_rows(sigged: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(_id, band, bhash) ids-only banding rows — the batch operator's
     shuffle shape (operators/dedup.minhash_lsh_pairs)."""
@@ -105,11 +119,16 @@ def stream_neardup_flag_batch(
     `near_dup` boolean column (flag-only — rows are never dropped
     here; fold the flag downstream exactly like exact_dup).
 
-    Call from foreachBatch:
+    Call from foreachBatch — and release the two per-batch caches
+    after the write, or a long-running stream accumulates cached
+    signature/flag blocks until ContextCleaner GC:
+
+        from pcornet_data_curation_spark.operators.dedup import unpersist_deps
 
         def on_batch(bdf, bid):
             flagged = stream_neardup_flag_batch(bdf, bid, store)
             flagged.write.mode("append").parquet(out)
+            unpersist_deps(flagged)
 
     Within-batch survivor = min id of a verified pair; cross-batch
     survivor = the stored (earlier) doc. A batch replay overwrites its
@@ -145,8 +164,7 @@ def stream_neardup_flag_batch(
     bands_dir = os.path.join(store_path, BANDS_SUBDIR)
     sigs_dir = os.path.join(store_path, SIGS_SUBDIR)
     flagged_ids = intra
-    store_exists = os.path.exists(bands_dir)
-    if store_exists:
+    if _store_exists(spark, bands_dir):
         # batch < batch_id: a REPLAYED batch must not probe the store
         # partition its failed attempt may have written (it would
         # self-match and flag everything); the predicate partition-

@@ -376,6 +376,7 @@ def test_url_canonical_dedup_collapses_equivalent_urls(spark):
         (6, "http://www.example.com/path?a=1"),            # path CASE differs: distinct
         (7, "not a url #fragment"),
         (8, "https://h.io/p?a=1&utm_x=9&b=2"),             # interior tracking param
+        (9, "https://h.io/p&utm_x=1"),                     # '&' in PATH: must survive
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = url_canonical_dedup(df).toPandas().set_index("doc_id").sort_index()
@@ -391,6 +392,10 @@ def test_url_canonical_dedup_collapses_equivalent_urls(spark):
     assert bool(out.loc[6, "is_canonical_keeper"])
     assert out.loc[7, "canonical_url"] == "not a url "
     assert out.loc[8, "canonical_url"] == "https://h.io/p?a=1&b=2"
+    # tracking-lookalike in the path is NOT a tracking param (RFC 3986:
+    # '&' is a legal pchar) — a distinct resource stays distinct
+    assert out.loc[9, "canonical_url"] == "https://h.io/p&utm_x=1"
+    assert bool(out.loc[9, "is_canonical_keeper"])
 
 
 def test_domain_temperature_sample_rates_and_determinism(spark):
