@@ -2071,6 +2071,120 @@ FROM k
 """
 
 
+# deterministic fixture lines for boilerplate_lines: one of each
+# jusText class (GOOD prose, NEAR headline, MARKER legal line, junk)
+_BP_GOOD = (
+    "it was the best of all the times and it was also the worst of the "
+    "times that we had in the old city by the sea."
+)
+_BP_NEAR = "The launch happened quickly."
+_BP_MARK = "© 2024 Example Corp — All Rights Reserved."
+_BP_JUNK = "xyzzy plugh"
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """jusText-style boilerplate segmentation (boilerplate.
+    boilerplate_lines): per-line GOOD/NEAR/BAD classes from stopword
+    density + length + nav/legal markers, one-hop context promotion of
+    NEAR lines adjacent to GOOD ones. The fixture rotates four line
+    arrangements by doc_id — NEAR promoted by a preceding GOOD line,
+    NEAR orphaned between boilerplate, NEAR separated from GOOD by a
+    junk line (adjacency must NOT leak across it), and NEAR lines on
+    both sides of a GOOD line — and appends the doc's own normalized
+    text as a final line whose class varies with real content, so the
+    classifier thresholds, the context rule, and the reassembly are
+    all value-hash-checked."""
+    from pcornet_data_curation_spark.operators.boilerplate import boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    arrange = (
+        F.when(d % 4 == 0, F.concat_ws("\n", F.lit(_BP_GOOD), F.lit(_BP_NEAR), F.lit(_BP_MARK)))
+        .when(d % 4 == 1, F.concat_ws("\n", F.lit(_BP_MARK), F.lit(_BP_NEAR), F.lit(_BP_JUNK)))
+        .when(d % 4 == 2, F.concat_ws("\n", F.lit(_BP_GOOD), F.lit(_BP_JUNK), F.lit(_BP_NEAR)))
+        .otherwise(F.concat_ws("\n", F.lit(_BP_NEAR), F.lit(_BP_GOOD), F.lit(_BP_NEAR)))
+    )
+    mtext = F.concat_ws("\n", arrange, norm)
+    return boilerplate_lines(docs.select("doc_id", mtext.alias("text")))
+
+
+def _sql_boilerplate_lines() -> str:
+    """Oracle generated from the boilerplate module's own constants
+    (STOPWORDS, MARKERS, LINE_WS, edge-punct strip, thresholds) so the
+    two classifiers cannot drift; the context rule is replayed as an
+    index comprehension over the class list — the exact prev/next
+    shift-and-pad algebra the Spark side runs."""
+    from pcornet_data_curation_spark.operators import boilerplate as BP
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    lws = _q(BP.LINE_WS)
+    edge = _q(BP._EDGE_PUNCT)
+    stops = "[" + ", ".join(_q(w) for w in BP.STOPWORDS) + "]"
+    marker = " OR ".join(f"contains(lower(l), {_q(m)})" for m in BP.MARKERS)
+    words = f"string_split_regex(lower(l), {lws})"
+    ratio = (
+        f"len(list_filter({words}, "
+        f"w -> list_contains({stops}, regexp_replace(w, {edge}, '', 'g'))))"
+        f" / len({words})"
+    )
+    cls = f"""list_transform(lines, l ->
+           CASE WHEN {marker} THEN 0
+                WHEN length(l) >= 70 AND {ratio} >= CAST(0.3 AS DOUBLE) THEN 2
+                WHEN {ratio} >= CAST(0.15 AS DOUBLE) AND len({words}) >= 3 THEN 1
+                ELSE 0 END)"""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM documents
+),
+lx AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN {_q(_BP_GOOD)} || chr(10) || {_q(_BP_NEAR)} || chr(10) || {_q(_BP_MARK)}
+               WHEN doc_id % 4 = 1 THEN {_q(_BP_MARK)} || chr(10) || {_q(_BP_NEAR)} || chr(10) || {_q(_BP_JUNK)}
+               WHEN doc_id % 4 = 2 THEN {_q(_BP_GOOD)} || chr(10) || {_q(_BP_JUNK)} || chr(10) || {_q(_BP_NEAR)}
+               ELSE {_q(_BP_NEAR)} || chr(10) || {_q(_BP_GOOD)} || chr(10) || {_q(_BP_NEAR)} END)
+         || chr(10) || norm AS text
+  FROM d
+),
+ln AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          l -> trim(regexp_replace(l, {lws}, ' ', 'g'))),
+           l -> l <> '') AS lines
+  FROM lx
+),
+cl AS (
+  SELECT doc_id, lines, {cls} AS cls
+  FROM ln
+),
+kp AS (
+  SELECT doc_id, lines,
+         [cls[i] = 2 OR (cls[i] = 1 AND
+            ((i > 1 AND cls[i - 1] = 2) OR (i < len(cls) AND cls[i + 1] = 2)))
+          FOR i IN range(1, len(cls) + 1)] AS keep
+  FROM cl
+),
+fin AS (
+  SELECT doc_id, lines,
+         [lines[i] FOR i IN range(1, len(lines) + 1) IF keep[i]] AS kept
+  FROM kp
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_content,
+       CAST(len(lines) AS INT) AS lines_n,
+       CAST(len(kept) AS INT) AS content_n,
+       CASE WHEN len(lines) > 0
+            THEN (len(lines) - len(kept)) / len(lines)
+            ELSE CAST(0 AS DOUBLE) END AS boilerplate_ratio
+FROM fin
+"""
+
+
 SQL_C4_LINE_FILTER = _sql_c4_line_filter()
 
 
@@ -3210,6 +3324,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_dedup_against_snapshot,
         SQL_DEDUP_AGAINST_SNAPSHOT,
     ),
+    # -- new in r05 (third batch): must land in CORRECTNESS_r05 --
+    "boilerplate_lines": (q_boilerplate_lines, _sql_boilerplate_lines),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:

@@ -524,3 +524,37 @@ def test_dedup_against_snapshot_flags(spark):
     assert bool(out.loc[4, "in_snapshot"]) and not out.loc[4, "keep"]
     assert bool(out.loc[5, "in_snapshot"]) and bool(out.loc[5, "dup_in_batch"])
     assert list(out["keep"]) == [False, True, False, False, False]
+
+
+def test_boilerplate_lines_classes_and_context(spark):
+    """Initial classes from stopword density/length/markers; jusText
+    one-hop context: NEAR survives only ADJACENT to a GOOD line (a
+    junk line between them blocks promotion); empty/NULL docs yield
+    ratio 0.0 and empty content."""
+    from pcornet_data_curation_spark.operators.boilerplate import boilerplate_lines
+
+    good = (
+        "it was the best of all the times and it was also the worst of "
+        "the times that we had in the old city by the sea."
+    )
+    near = "The launch happened quickly."
+    mark = "© 2024 Example Corp — All Rights Reserved."
+    junk = "xyzzy plugh"
+    rows = [
+        (0, "\n".join([good, near, mark])),  # NEAR promoted by prev GOOD
+        (1, "\n".join([mark, near, junk])),  # NEAR orphaned: dropped
+        (2, "\n".join([good, junk, near])),  # junk blocks adjacency
+        (3, "\n".join([near, good, near])),  # both NEARs promoted
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_lines(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "text_content"] == good + "\n" + near
+    assert out.loc[0, "lines_n"] == 3 and out.loc[0, "content_n"] == 2
+    assert out.loc[1, "text_content"] == "" and out.loc[1, "content_n"] == 0
+    assert out.loc[1, "boilerplate_ratio"] == 1.0
+    assert out.loc[2, "text_content"] == good
+    assert out.loc[3, "text_content"] == "\n".join([near, good, near])
+    assert out.loc[4, "lines_n"] == 0 and out.loc[4, "boilerplate_ratio"] == 0.0
+    assert out.loc[5, "text_content"] == ""
