@@ -489,6 +489,41 @@ def near_dedup_survivors(
     return df.join(drop, id_col, "left_anti")
 
 
+def dup_cluster_stats(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph — the dedup AUDIT
+    report a Dolma/FineWeb-class pipeline publishes next to the dedup
+    itself: one row per observed cluster size with (cluster_size,
+    n_clusters, n_docs, n_removable = (size-1)*clusters). The
+    reference's analog is the %n_pct frequency profile over a derived
+    key (data_curation_base.sas %n_pct): a distribution report whose
+    input is itself a computed grouping.
+
+    Singleton documents (in no pair) never reach the pair list, so
+    they are NOT represented; report them as corpus_total −
+    sum(n_docs). Scale shape: components resolve in O(log n) keyed
+    shuffles over the (shrinking) edge list (Kiveris large-star/
+    small-star, `connected_components`); both aggregations after that
+    are over one-row-per-component / one-row-per-size frames — partial
+    map-side aggs, output bounded by the largest cluster size."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removable"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram jaccard (SQL-expressible — DuckDB oracle exists)
 # ---------------------------------------------------------------------------

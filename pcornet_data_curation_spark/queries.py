@@ -1277,6 +1277,56 @@ WHERE cc.node IS NULL OR cc.comp = d.doc_id
 """
 
 
+def q_dup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size histogram (dedup.dup_cluster_stats): the
+    dedup audit report — per observed cluster size, how many clusters,
+    docs, and removable docs. Pairs come from the same literal-
+    signature MinHash banding as q_minhash_pairs (threshold 0.9), the
+    distributed large-star/small-star components are checked against
+    the recursive-CTE transitive closure, and the two-level histogram
+    aggregation is plain SQL — so the ENTIRE iterative-algorithm
+    output is value-hash-checked, not just row counts."""
+    from pcornet_data_curation_spark.operators.dedup import (
+        dup_cluster_stats,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.9)
+    return carry_deps(pairs, dup_cluster_stats(pairs))
+
+
+def _sql_dup_cluster_stats() -> str:
+    return f"""
+WITH RECURSIVE sigs(doc_id, sig) AS (VALUES
+{_minhash_sig_values()}
+),
+{_MINHASH_BAND_SQL},
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2])) / 64.0 >= 0.9
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+sz AS (SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM sz GROUP BY cluster_size
+"""
+
+
 def q_dup_line_metrics(spark, sf_dir):
     """Gopher-style duplicate-line repetition signal per document
     (north-star 'repetition n-gram dedup signals'), via the auto-route
@@ -3326,6 +3376,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     # -- new in r05 (third batch): must land in CORRECTNESS_r05 --
     "boilerplate_lines": (q_boilerplate_lines, _sql_boilerplate_lines),
+    "dup_cluster_stats": (q_dup_cluster_stats, _sql_dup_cluster_stats),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:

@@ -558,3 +558,21 @@ def test_boilerplate_lines_classes_and_context(spark):
     assert out.loc[3, "text_content"] == "\n".join([near, good, near])
     assert out.loc[4, "lines_n"] == 0 and out.loc[4, "boilerplate_ratio"] == 0.0
     assert out.loc[5, "text_content"] == ""
+
+
+def test_dup_cluster_stats_histogram(spark):
+    """Chain, two pairs, and a star collapse to the right histogram;
+    transitive closure merges the chain, singletons never appear."""
+    from pcornet_data_curation_spark.operators.dedup import dup_cluster_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (30, 32), (30, 33)],
+        "id_a long, id_b long",
+    )
+    out = dup_cluster_stats(pairs).toPandas().set_index("cluster_size").sort_index()
+    assert list(out.index) == [2, 3, 4]
+    assert out.loc[2, "n_clusters"] == 2 and out.loc[2, "n_docs"] == 4
+    assert out.loc[2, "n_removable"] == 2
+    assert out.loc[3, "n_clusters"] == 1 and out.loc[3, "n_removable"] == 2
+    assert out.loc[4, "n_clusters"] == 1 and out.loc[4, "n_docs"] == 4
+    assert out.loc[4, "n_removable"] == 3
