@@ -2235,6 +2235,70 @@ FROM fin
 """
 
 
+# mojibake fixture sample: the BROKEN form is computed from the clean
+# text by the module's own sloppy-cp1252 transform — never transcribed
+_MOJI_CLEAN = "Café — “don’t” naïve\xa0fin…"
+
+
+def q_mojibake_fix(spark, sf_dir):
+    """Fixed-table mojibake repair (mojibake.mojibake_fix): one round
+    of UTF-8-read-as-cp1252 damage undone by a literal-replace chain
+    computed from the byte arithmetic itself. The fixture appends a
+    broken sample (accents, curly quotes, em dash, nbsp, ellipsis —
+    incl. the cp1252-undefined 0x9D byte) to every third doc and a
+    single broken apostrophe to another third, so text_fixed and the
+    changed flag both vary and every pair class in the table is
+    exercised; the oracle replays the identical replace chain."""
+    from pcornet_data_curation_spark.operators.mojibake import (
+        _sloppy_cp1252,
+        mojibake_fix,
+    )
+
+    broken = _sloppy_cp1252(_MOJI_CLEAN.encode("utf-8"))
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    mtext = (
+        F.when(d % 3 == 0, F.concat(norm, F.lit(" " + broken)))
+        .when(d % 3 == 1, norm)
+        .otherwise(F.concat(norm, F.lit(" don" + _sloppy_cp1252("’".encode("utf-8")) + "t")))
+    )
+    return mojibake_fix(docs.select("doc_id", mtext.alias("text")))
+
+
+def _sql_mojibake_fix() -> str:
+    """Oracle generated from the mojibake module's own pair table —
+    the identical nested literal-replace chain, same order."""
+    from pcornet_data_curation_spark.operators import mojibake as MJ
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    broken = MJ._sloppy_cp1252(_MOJI_CLEAN.encode("utf-8"))
+    apos = MJ._sloppy_cp1252("’".encode("utf-8"))
+    fixed = "src"
+    for bad, good in MJ.MOJIBAKE_STEPS:
+        fixed = f"replace({fixed}, {_q(bad)}, {_q(good)})"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN norm || {_q(" " + broken)}
+              WHEN doc_id % 3 = 1 THEN norm
+              ELSE norm || {_q(" don" + apos + "t")} END AS src
+  FROM d
+)
+SELECT doc_id,
+       {fixed} AS text_fixed,
+       {fixed} <> src AS changed
+FROM s
+"""
+
+
 SQL_C4_LINE_FILTER = _sql_c4_line_filter()
 
 
@@ -3377,6 +3441,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- new in r05 (third batch): must land in CORRECTNESS_r05 --
     "boilerplate_lines": (q_boilerplate_lines, _sql_boilerplate_lines),
     "dup_cluster_stats": (q_dup_cluster_stats, _sql_dup_cluster_stats),
+    "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:

@@ -576,3 +576,24 @@ def test_dup_cluster_stats_histogram(spark):
     assert out.loc[3, "n_clusters"] == 1 and out.loc[3, "n_removable"] == 2
     assert out.loc[4, "n_clusters"] == 1 and out.loc[4, "n_docs"] == 4
     assert out.loc[4, "n_removable"] == 3
+
+
+def test_mojibake_fix_repairs_cp1252_round(spark):
+    """The broken form of any repaired char is computed from the same
+    byte arithmetic that created it; repair is byte-exact, ASCII and
+    NULL pass through, changed flags the difference."""
+    from pcornet_data_curation_spark.operators.mojibake import (
+        _sloppy_cp1252,
+        mojibake_fix,
+    )
+
+    clean = "Café — “don’t” naïve\xa0fin… 100€ •"
+    broken = _sloppy_cp1252(clean.encode("utf-8"))
+    assert broken != clean and "Ã" in broken
+    rows = [(1, broken), (2, "plain ascii text."), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = mojibake_fix(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text_fixed"] == clean and bool(out.loc[1, "changed"])
+    assert out.loc[2, "text_fixed"] == "plain ascii text."
+    assert not out.loc[2, "changed"]
+    assert out.loc[3, "text_fixed"] == "" and not out.loc[3, "changed"]
