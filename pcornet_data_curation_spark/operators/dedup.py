@@ -84,32 +84,37 @@ def dedup_against_snapshot(
     Scale shape: the snapshot reduces to DISTINCT 8-byte xxhash64
     fingerprints BEFORE the join (ids-only; a 100 TB snapshot becomes
     ~8 bytes x distinct docs, and a stored fingerprint table can feed
-    this directly), then one fp equi-join — AQE broadcasts it when the
-    fingerprint set is small and skew-splits when it is not. The
-    within-batch flag is the exact_dedup groupBy(fp).min(id) shape.
-    The batch text payload never shuffles: both joins carry (fp, id)
-    rows only. Hash collisions: xxhash64 is 64-bit — at 10^10 docs the
-    collision expectation is ~10^-9 of pairs, the same accepted trade
-    as exact_dedup/duplicate_groups. NULL text participates as the
-    empty string (the pipeline's NULL-as-empty convention — a NULL fp
-    would silently fall out of the equi-joins)."""
-    fp = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    this directly). Both flag joins run over (fp, id) 16-byte rows —
+    the dedup family's ids-only discipline — and the batch PAYLOAD
+    joins the finished flag frame once, keyed by the UNIQUE id: a hot
+    fingerprint (empty pages, boilerplate) can never concentrate
+    payload rows on one task, because payload never partitions by fp
+    at all. AQE broadcasts the snapshot-fp and flag frames when small.
+    The trade: the text column is read twice (once pruned-to-hash,
+    once in the payload join) — a column-pruned parquet re-scan,
+    cheaper than shuffling payload on a skewed key. Hash collisions:
+    xxhash64 is 64-bit — at 10^10 docs the collision expectation is
+    ~10^-9 of pairs, the same accepted trade as exact_dedup/
+    duplicate_groups. NULL text participates as the empty string (the
+    pipeline's NULL-as-empty convention — a NULL fp would silently
+    fall out of the equi-joins)."""
+    fpc = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
     snap_fps = (
-        snapshot.select(fp.alias("_fp")).distinct().withColumn("_in_snap", F.lit(True))
+        snapshot.select(fpc.alias("_fp")).distinct().withColumn("_in_snap", F.lit(True))
     )
-    tagged = batch.withColumn("_fp", fp)
-    survivors = (
-        tagged.select("_fp", F.col(id_col))
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias("_min_id"))
-    )
-    return (
-        tagged.join(snap_fps, "_fp", "left")
+    ids = batch.select(F.col(id_col), fpc.alias("_fp"))
+    survivors = ids.groupBy("_fp").agg(F.min(id_col).alias("_min_id"))
+    flags = (
+        ids.join(snap_fps, "_fp", "left")
         .join(survivors, "_fp")
-        .withColumn("in_snapshot", F.coalesce(F.col("_in_snap"), F.lit(False)))
-        .withColumn("dup_in_batch", F.col(id_col) != F.col("_min_id"))
-        .withColumn("keep", ~F.col("in_snapshot") & ~F.col("dup_in_batch"))
-        .drop("_fp", "_in_snap", "_min_id")
+        .select(
+            id_col,
+            F.coalesce(F.col("_in_snap"), F.lit(False)).alias("in_snapshot"),
+            (F.col(id_col) != F.col("_min_id")).alias("dup_in_batch"),
+        )
+    )
+    return batch.join(flags, id_col).withColumn(
+        "keep", ~F.col("in_snapshot") & ~F.col("dup_in_batch")
     )
 
 
