@@ -72,6 +72,18 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "whose text column is NULL but html is present",
     )
     p.add_argument(
+        "--fix-mojibake",
+        action="store_true",
+        help="repair one round of cp1252 mojibake in the text column "
+        "before dedup/scoring (fixed literal-replace table)",
+    )
+    p.add_argument(
+        "--remove-boilerplate",
+        action="store_true",
+        help="drop jusText-style boilerplate lines (nav/legal markers, "
+        "low stopword density) from the text before dedup/scoring",
+    )
+    p.add_argument(
         "--url-blocklist",
         default=None,
         help="newline-delimited domain blocklist file: enables the "
@@ -282,6 +294,8 @@ def main(argv: list[str] | None = None) -> int:
         near_threshold=args.near_threshold,
         url_blocklist=args.url_blocklist,
         extract_missing_text=args.extract_missing_text,
+        fix_mojibake=args.fix_mojibake,
+        remove_boilerplate=args.remove_boilerplate,
     )
     result = run_pipeline(spark, open_table(spark, args.input), cfg)
     print(json.dumps({"outputs": {k: v for k, v in result.items() if k != "stats"},

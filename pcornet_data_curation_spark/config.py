@@ -83,6 +83,19 @@ class PipelineConfig:
     # False pins the legacy flat (single-line) chain.
     extract_preserve_lines: bool = True
 
+    # Repair one round of cp1252 mojibake in the text column before
+    # anything reads it (operators/mojibake.py fixed literal-replace
+    # table). Pure Column algebra — batch and streaming alike; NULL
+    # text stays NULL (missingness accounting untouched). Default off:
+    # per-url verdict parity with the reference labels.
+    fix_mojibake: bool = False
+
+    # Remove boilerplate lines (jusText-lite,
+    # operators/boilerplate.py) from the text column before dedup and
+    # scoring; applied AFTER the mojibake repair so stopword density
+    # is measured on repaired text. NULL stays NULL. Default off.
+    remove_boilerplate: bool = False
+
     # URL-level pre-filter (RefinedWeb/C4 stage): path to a newline-
     # delimited domain blocklist file. When set, pages failing
     # operators.urlfilter.url_filter (blocked/subdomain host, keyword,

@@ -104,6 +104,70 @@ def _line_class(line: Column, length_low: int, stopwords_high: float,
     )
 
 
+def trimmed_lines_col(col: Column) -> Column:
+    """Non-empty, whitespace-collapsed lines of a text column (NULL
+    folds to no lines)."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(col, F.lit("")), "\n"),
+            lambda l: F.trim(F.regexp_replace(l, LINE_WS, " ")),
+        ),
+        lambda l: l != "",
+    )
+
+
+def kept_lines_col(
+    lines: Column,
+    length_low: int = 70,
+    stopwords_high: float = 0.30,
+    stopwords_low: float = 0.15,
+) -> Column:
+    """Surviving (GOOD + context-promoted NEAR) lines of a trimmed
+    line array — the Column core shared by the report operator and the
+    pipeline stage. `lines` should be a projected attribute (or cheap
+    expression): it is referenced several times here, and Catalyst
+    inlines it per REFERENCE — a constant factor by construction
+    (never per element; see the shift-and-pad note below)."""
+    cls = F.transform(
+        lines,
+        lambda l: _line_class(l, length_low, stopwords_high, stopwords_low),
+    )
+    n = F.size(lines)
+    # one-hop context: prev/next class arrays via shift-and-pad —
+    # full-array expressions evaluated once each (never element_at
+    # inside a lambda, which would inline the whole class computation
+    # per ELEMENT: the O(n^2)-per-doc trap BENCH.md documents)
+    prev = F.concat(F.array(F.lit(BAD)), F.slice(cls, 1, F.greatest(n - 1, F.lit(0))))
+    nxt = F.concat(F.slice(cls, 2, n), F.array(F.lit(BAD)))
+    ctx_good = F.zip_with(
+        prev, nxt, lambda p, x: (p == GOOD) | (x == GOOD)
+    )
+    keep = F.zip_with(
+        cls, ctx_good, lambda c, g: (c == GOOD) | ((c == NEAR) & g)
+    )
+    return F.filter(
+        F.zip_with(lines, keep, lambda l, k: F.when(k, l)),
+        lambda l: l.isNotNull(),
+    )
+
+
+def boilerplate_clean_col(
+    col: Column,
+    length_low: int = 70,
+    stopwords_high: float = 0.30,
+    stopwords_low: float = 0.15,
+) -> Column:
+    """Text with boilerplate lines removed — the pipeline-stage form
+    (pure Column algebra: usable in batch and streaming projections
+    alike). NULL/empty text yields ''."""
+    return F.array_join(
+        kept_lines_col(
+            trimmed_lines_col(col), length_low, stopwords_high, stopwords_low
+        ),
+        "\n",
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -119,34 +183,10 @@ def boilerplate_lines(
     so context adjacency is between surviving non-empty lines, the
     jusText paragraph convention. boilerplate_ratio is the dropped
     fraction of non-empty lines (0.0 for an empty document)."""
-    trimmed = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-            lambda l: F.trim(F.regexp_replace(l, LINE_WS, " ")),
-        ),
-        lambda l: l != "",
-    )
-    base = df.select(F.col(id_col), trimmed.alias("_lines"))
+    base = df.select(F.col(id_col), trimmed_lines_col(F.col(text_col)).alias("_lines"))
     n = F.size(F.col("_lines"))
-    cls = F.transform(
-        F.col("_lines"),
-        lambda l: _line_class(l, length_low, stopwords_high, stopwords_low),
-    )
-    # one-hop context: prev/next class arrays via shift-and-pad —
-    # full-array expressions evaluated once each (never element_at
-    # inside a lambda, which would inline the whole class computation
-    # per ELEMENT: the O(n^2)-per-doc trap BENCH.md documents)
-    prev = F.concat(F.array(F.lit(BAD)), F.slice(cls, 1, F.greatest(n - 1, F.lit(0))))
-    nxt = F.concat(F.slice(cls, 2, n), F.array(F.lit(BAD)))
-    ctx_good = F.zip_with(
-        prev, nxt, lambda p, x: (p == GOOD) | (x == GOOD)
-    )
-    keep = F.zip_with(
-        cls, ctx_good, lambda c, g: (c == GOOD) | ((c == NEAR) & g)
-    )
-    kept_lines = F.filter(
-        F.zip_with(F.col("_lines"), keep, lambda l, k: F.when(k, l)),
-        lambda l: l.isNotNull(),
+    kept_lines = kept_lines_col(
+        F.col("_lines"), length_low, stopwords_high, stopwords_low
     )
     content_n = F.size(kept_lines)
     return base.select(

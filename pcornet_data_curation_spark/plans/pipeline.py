@@ -242,6 +242,30 @@ def curate(
         "url", "warc_ts", text_expr.alias("text"),
         *tail_cols, extraction_ok.alias("extraction_ok"),
     )
+    # text-repair stages (opt-in, production order: fix encoding, then
+    # remove boilerplate, THEN dedup/score — so fingerprints and
+    # stopword densities see repaired text). Applied to the projected
+    # `text` ATTRIBUTE, not the extract expression: boilerplate
+    # cleaning references its input several times and CollapseProject's
+    # multi-reference guard keeps the extract chain evaluated once in
+    # the projection below. Pure Column algebra — the streaming path
+    # (curate_stream -> curate) gets both stages for free. NULL text
+    # stays NULL: missing-text rule accounting is untouched.
+    if cfg.fix_mojibake:
+        from pcornet_data_curation_spark.operators.mojibake import mojibake_fix_col
+
+        df = df.withColumn("text", mojibake_fix_col(F.col("text")))
+    if cfg.remove_boilerplate:
+        from pcornet_data_curation_spark.operators.boilerplate import (
+            boilerplate_clean_col,
+        )
+
+        df = df.withColumn(
+            "text",
+            F.when(
+                F.col("text").isNotNull(), boilerplate_clean_col(F.col("text"))
+            ),
+        )
     if precomputed_dedup:
         pass  # flag already on the rows (streaming stateful dedup)
     elif cfg.dedup != "off":

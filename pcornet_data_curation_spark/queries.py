@@ -3590,6 +3590,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "nfc_normalize", "span_dedup", "span_dedup_cdc", "line_dedup",
         "c4_line_filter", "url_canonicalize", "domain_temperature_sample",
         "vocab_stats", "domain_cap", "dedup_against_snapshot",
+        "boilerplate_lines", "dup_cluster_stats", "mojibake_fix",
         "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",

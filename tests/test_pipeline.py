@@ -621,3 +621,43 @@ def test_extract_missing_text_stage(spark, tmp_path):
     cur0 = spark.read.parquet(os.path.join(out_off, "curated")).toPandas().set_index("url")
     assert cur0.loc["https://a.example.org/1", "scrubbed_text"] is None or \
            cur0.loc["https://a.example.org/1", "scrubbed_text"] != body
+
+
+def test_text_repair_stages_mojibake_and_boilerplate(spark, tmp_path):
+    """cfg.fix_mojibake repairs cp1252 damage before dedup/scoring/
+    scrub; cfg.remove_boilerplate drops nav/legal lines while keeping
+    prose; NULL text stays NULL (missingness accounting untouched)."""
+    import datetime as dt
+
+    from pcornet_data_curation_spark.operators.mojibake import _sloppy_cp1252
+
+    t = dt.datetime(2026, 1, 1)
+    good_line = (
+        "it was the best of all the times and it was also the worst of "
+        "the times that we had in the old city by the sea."
+    )
+    apos = _sloppy_cp1252("’".encode("utf-8"))
+    cafe = _sloppy_cp1252("Café".encode("utf-8"))
+    rows = [
+        ("https://x.org/moji", t, None,
+         f"don{apos}t say {cafe}. " + good_line, "en"),
+        ("https://x.org/bp", t, None,
+         good_line + "\n© 2024 Example Corp — All Rights Reserved."
+         + "\nsubscribe now cookie banner", "en"),
+        ("https://x.org/null", t, None, None, "en"),
+    ]
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "repair")
+    run_pipeline(spark, pages, PipelineConfig(
+        output_root=out, n_buckets=2,
+        fix_mojibake=True, remove_boilerplate=True))
+    cur = (
+        spark.read.parquet(os.path.join(out, "curated"))
+        .toPandas().set_index("url")
+    )
+    moji = cur.loc["https://x.org/moji", "scrubbed_text"]
+    assert "don’t say Café." in moji and "Ã" not in moji
+    bp = cur.loc["https://x.org/bp", "scrubbed_text"]
+    assert bp == good_line  # markers and nav junk dropped, prose kept
+    assert cur.loc["https://x.org/null", "scrubbed_text"] is None
