@@ -58,6 +58,9 @@ HEADLINE = [
     "domain_cap",
     "vocab_stats",
     "dedup_against_snapshot",
+    "boilerplate_lines",
+    "mojibake_fix",
+    "dup_cluster_stats",
     "decontaminate_remove",
     "verdict_documents",
     "scrub_full",
