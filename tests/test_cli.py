@@ -179,3 +179,33 @@ def test_cli_prior_equal_to_output_rejected(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="prior_run_root"):
         main(["run", "--input", pages, "--output", out, "--buckets", "2",
               "--cores", "8", "--prior", out])
+
+
+def test_pyfiles_zip_imports_and_is_deterministic(tmp_path):
+    """The spark-submit --py-files artifact: package imports from the
+    zip alone in a fresh interpreter (executors see exactly this), no
+    bytecode/test files inside, and two builds are byte-identical."""
+    import subprocess
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "/root/repo/tools")
+    import build_pyfiles
+
+    z1 = build_pyfiles.build(str(tmp_path / "a.zip"))
+    z2 = build_pyfiles.build(str(tmp_path / "b.zip"))
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+    names = zipfile.ZipFile(z1).namelist()
+    assert all(n.startswith("pcornet_data_curation_spark/") for n in names)
+    assert not any(n.endswith(".pyc") or "/tests/" in n for n in names)
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import pcornet_data_curation_spark.config as c; "
+        "import pcornet_data_curation_spark.operators.rules as r; "
+        "print(c.PipelineConfig().n_buckets)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, z1],
+        capture_output=True, text=True, cwd=str(tmp_path), check=True,
+    )
+    assert out.stdout.strip() == "8"
