@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_against_snapshot",
     "boilerplate_lines",
     "mojibake_fix",
+    "robots_meta",
     "dup_cluster_stats",
     "decontaminate_remove",
     "verdict_documents",

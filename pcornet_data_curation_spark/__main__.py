@@ -72,6 +72,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "whose text column is NULL but html is present",
     )
     p.add_argument(
+        "--respect-noindex",
+        action="store_true",
+        help="drop pages whose html carries a robots noindex/none meta "
+        "directive, before any payload processing",
+    )
+    p.add_argument(
         "--fix-mojibake",
         action="store_true",
         help="repair one round of cp1252 mojibake in the text column "
@@ -294,6 +300,7 @@ def main(argv: list[str] | None = None) -> int:
         near_threshold=args.near_threshold,
         url_blocklist=args.url_blocklist,
         extract_missing_text=args.extract_missing_text,
+        respect_noindex=args.respect_noindex,
         fix_mojibake=args.fix_mojibake,
         remove_boilerplate=args.remove_boilerplate,
     )

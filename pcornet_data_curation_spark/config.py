@@ -83,6 +83,14 @@ class PipelineConfig:
     # False pins the legacy flat (single-line) chain.
     extract_preserve_lines: bool = True
 
+    # Honor `<meta name="robots" content="noindex">` (and `none`)
+    # directives found in the html column: such pages are DROPPED at
+    # the scan, before any payload processing — the curation-side
+    # politeness re-check a stored-WARC pipeline must do itself
+    # (operators/robotsmeta.py). No-op when the input has no html
+    # column. Default off: per-url verdict parity.
+    respect_noindex: bool = False
+
     # Repair one round of cp1252 mojibake in the text column before
     # anything reads it (operators/mojibake.py fixed literal-replace
     # table). Pure Column algebra — batch and streaming alike; NULL

@@ -212,6 +212,17 @@ def curate(
     skip the batch flag computation but still honor cfg.dedup's
     drop-mode keep fold."""
     df = lookback_filter(pages, cfg)
+    if cfg.respect_noindex and "html" in df.columns:
+        # publisher opt-out re-check (stored WARCs must re-honor what
+        # the crawler honored at fetch time): three regexp_extracts
+        # over html AT THE SCAN, pages dropped before any payload
+        # processing — html is about to be read here anyway for the
+        # extraction check, so the filter rides the same scan
+        from pcornet_data_curation_spark.operators.robotsmeta import (
+            robots_noindex_col,
+        )
+
+        df = df.where(~robots_noindex_col(F.col("html")))
     # consume html AT THE SCAN: extraction_ok is derived here and html
     # dropped immediately, so the wide binary column never rides the
     # (bucket, salt) shuffle or the Arrow round-trip of the scoring UDF

@@ -2235,6 +2235,96 @@ FROM fin
 """
 
 
+# robots-meta fixture head variants: directive forms a shallow parser
+# must handle — quoted pair, content-first unquoted name, explicit
+# allow, unrelated meta, uppercase name + unquoted `none`
+_ROBOTS_HEADS = (
+    '<meta name="robots" content="noindex, nofollow">',
+    "<meta content='nofollow' name=robots>",
+    '<meta name="robots" content="index, follow">',
+    '<meta name="viewport" content="width=device-width">',
+    "<meta name=ROBOTS content=none>",
+)
+
+
+def q_robots_meta(spark, sf_dir):
+    """Robots meta-directive detection (robotsmeta.robots_meta): the
+    curation-side politeness check over stored page html. The fixture
+    wraps each doc's text in html whose head rotates through five meta
+    shapes — quoted noindex+nofollow, content-before-name with mixed
+    quoting, an explicit allow, an unrelated meta tag, and an
+    uppercase name with an unquoted `none` (implies both opt-outs) —
+    so attribute order, quoting style, case folding, token (not
+    substring) matching, and the none expansion are all value-hash-
+    checked; the oracle replays the module's own regexes."""
+    from pcornet_data_curation_spark.operators.robotsmeta import robots_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    head = F.when(d % 5 == 0, F.lit(_ROBOTS_HEADS[0]))
+    for i in range(1, 4):
+        head = head.when(d % 5 == i, F.lit(_ROBOTS_HEADS[i]))
+    head = head.otherwise(F.lit(_ROBOTS_HEADS[4]))
+    html = F.concat(
+        F.lit("<html><head>"), head,
+        F.lit("<title>t</title></head><body><p>"), norm,
+        F.lit("</p></body></html>"),
+    )
+    return robots_meta(docs.select("doc_id", html.alias("html")))
+
+
+def _sql_robots_meta() -> str:
+    """Oracle generated from the robotsmeta module's own regexes (tag,
+    content-attr alternation, token split) — DuckDB returns '' for
+    non-participating alternation groups exactly like Spark, so the
+    concat-of-groups trick ports verbatim."""
+    from pcornet_data_curation_spark.operators import robotsmeta as RM
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    tag = _q(RM.ROBOTS_TAG_RE)
+    content = _q(RM.CONTENT_ATTR_RE)
+    split = _q(RM.TOKEN_SPLIT_RE)
+    heads = [_q(h) for h in _ROBOTS_HEADS]
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         '<html><head>' ||
+         (CASE WHEN doc_id % 5 = 0 THEN {heads[0]}
+               WHEN doc_id % 5 = 1 THEN {heads[1]}
+               WHEN doc_id % 5 = 2 THEN {heads[2]}
+               WHEN doc_id % 5 = 3 THEN {heads[3]}
+               ELSE {heads[4]} END) ||
+         '<title>t</title></head><body><p>' || norm || '</p></body></html>' AS html
+  FROM d
+),
+t AS (SELECT doc_id, regexp_extract(lower(html), {tag}, 1) AS tag FROM h),
+c AS (
+  SELECT doc_id,
+         concat_ws('', regexp_extract(tag, {content}, 1),
+                       regexp_extract(tag, {content}, 2),
+                       regexp_extract(tag, {content}, 3)) AS robots_directives
+  FROM t
+),
+x AS (
+  SELECT doc_id, robots_directives,
+         string_split_regex(robots_directives, {split}) AS toks
+  FROM c
+)
+SELECT doc_id, robots_directives,
+       list_contains(toks, 'noindex') OR list_contains(toks, 'none') AS robots_noindex,
+       list_contains(toks, 'nofollow') OR list_contains(toks, 'none') AS robots_nofollow
+FROM x
+"""
+
+
 # mojibake fixture sample: the BROKEN form is computed from the clean
 # text by the module's own sloppy-cp1252 transform — never transcribed
 _MOJI_CLEAN = "Café — “don’t” naïve\xa0fin…"
@@ -3442,6 +3532,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "boilerplate_lines": (q_boilerplate_lines, _sql_boilerplate_lines),
     "dup_cluster_stats": (q_dup_cluster_stats, _sql_dup_cluster_stats),
     "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix),
+    "robots_meta": (q_robots_meta, _sql_robots_meta),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:
@@ -3591,7 +3682,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "c4_line_filter", "url_canonicalize", "domain_temperature_sample",
         "vocab_stats", "domain_cap", "dedup_against_snapshot",
         "boilerplate_lines", "dup_cluster_stats", "mojibake_fix",
-        "pack_token_shards",
+        "robots_meta", "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",

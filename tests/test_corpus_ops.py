@@ -597,3 +597,39 @@ def test_mojibake_fix_repairs_cp1252_round(spark):
     assert out.loc[2, "text_fixed"] == "plain ascii text."
     assert not out.loc[2, "changed"]
     assert out.loc[3, "text_fixed"] == "" and not out.loc[3, "changed"]
+
+
+def test_robots_meta_directive_parsing(spark):
+    """Attribute order and quoting free; first robots tag wins; token
+    (not substring) matching; none implies both; binary html decodes;
+    NULL html carries no directive."""
+    from pcornet_data_curation_spark.operators.robotsmeta import robots_meta
+
+    rows = [
+        (1, '<head><meta name="robots" content="noindex, nofollow"></head>'),
+        (2, "<head><meta content='nofollow' name=robots></head>"),
+        (3, '<head><meta name="robots" content="index, follow"></head>'),
+        (4, '<head><meta name="viewport" content="width=device-width"></head>'),
+        (5, "<head><meta name=ROBOTS content=none></head>"),
+        (6, '<head><meta name="robots" content="noindexfoo"></head>'),  # not a token
+        (7, '<head><meta name="robots" content="nofollow">'
+            '<meta name="robots" content="noindex"></head>'),  # first wins
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = robots_meta(df).toPandas().set_index("doc_id").sort_index()
+    assert bool(out.loc[1, "robots_noindex"]) and bool(out.loc[1, "robots_nofollow"])
+    assert not out.loc[2, "robots_noindex"] and bool(out.loc[2, "robots_nofollow"])
+    assert not out.loc[3, "robots_noindex"] and not out.loc[3, "robots_nofollow"]
+    assert out.loc[4, "robots_directives"] == ""
+    assert bool(out.loc[5, "robots_noindex"]) and bool(out.loc[5, "robots_nofollow"])
+    assert not out.loc[6, "robots_noindex"]
+    assert not out.loc[7, "robots_noindex"] and bool(out.loc[7, "robots_nofollow"])
+    assert out.loc[8, "robots_directives"] == "" and not out.loc[8, "robots_noindex"]
+
+    bin_df = spark.createDataFrame(
+        [(9, '<meta name="robots" content="noindex">'.encode())],
+        "doc_id long, html binary",
+    )
+    b = robots_meta(bin_df).toPandas().iloc[0]
+    assert bool(b["robots_noindex"])

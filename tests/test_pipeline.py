@@ -661,3 +661,39 @@ def test_text_repair_stages_mojibake_and_boilerplate(spark, tmp_path):
     bp = cur.loc["https://x.org/bp", "scrubbed_text"]
     assert bp == good_line  # markers and nav junk dropped, prose kept
     assert cur.loc["https://x.org/null", "scrubbed_text"] is None
+
+
+def test_respect_noindex_stage(spark, tmp_path):
+    """cfg.respect_noindex drops noindex/none pages at the scan; pages
+    without a robots directive (or with an explicit allow) survive;
+    off keeps everything."""
+    import datetime as dt
+
+    t = dt.datetime(2026, 1, 1)
+    body = ("a genuinely real sentence with plenty of words here. " * 8).strip()
+
+    def page(meta):
+        return (f"<html><head>{meta}</head><body><p>{body}</p></body></html>").encode()
+
+    rows = [
+        ("https://x.org/blocked", t,
+         page('<meta name="robots" content="noindex, follow">'), body, "en"),
+        ("https://x.org/none", t,
+         page("<meta name=robots content=none>"), body, "en"),
+        ("https://x.org/open", t,
+         page('<meta name="robots" content="index, follow">'), body, "en"),
+        ("https://x.org/plain", t, page(""), body, "en"),
+    ]
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = spark.createDataFrame(rows, ddl)
+    out_on = str(tmp_path / "on")
+    run_pipeline(spark, pages, PipelineConfig(
+        output_root=out_on, n_buckets=2, respect_noindex=True))
+    urls = set(
+        spark.read.parquet(os.path.join(out_on, "curated")).toPandas()["url"]
+    )
+    assert urls == {"https://x.org/open", "https://x.org/plain"}
+    out_off = str(tmp_path / "off")
+    run_pipeline(spark, pages, PipelineConfig(output_root=out_off, n_buckets=2))
+    assert len(spark.read.parquet(os.path.join(out_off, "curated"))
+               .toPandas()) == 4
