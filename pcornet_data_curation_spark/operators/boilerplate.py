@@ -116,22 +116,29 @@ def trimmed_lines_col(col: Column) -> Column:
     )
 
 
-def kept_lines_col(
+def classes_col(
     lines: Column,
     length_low: int = 70,
     stopwords_high: float = 0.30,
     stopwords_low: float = 0.15,
 ) -> Column:
-    """Surviving (GOOD + context-promoted NEAR) lines of a trimmed
-    line array — the Column core shared by the report operator and the
-    pipeline stage. `lines` should be a projected attribute (or cheap
-    expression): it is referenced several times here, and Catalyst
-    inlines it per REFERENCE — a constant factor by construction
-    (never per element; see the shift-and-pad note below)."""
-    cls = F.transform(
+    """Per-line initial class array (the expensive part: one stopword
+    transform per line)."""
+    return F.transform(
         lines,
         lambda l: _line_class(l, length_low, stopwords_high, stopwords_low),
     )
+
+
+def kept_lines_from_classes(lines: Column, cls: Column) -> Column:
+    """Surviving (GOOD + context-promoted NEAR) lines, given the line
+    array and its class array. BOTH arguments should be projected
+    ATTRIBUTES: each is referenced several times here, and Catalyst
+    inlines non-attribute expressions per REFERENCE — for the class
+    array (a stopword transform per line) that triples the dominant
+    cost. The DataFrame forms below stage the attributes through
+    intermediate projections; CollapseProject's multi-reference guard
+    then keeps each computed exactly once per row."""
     n = F.size(lines)
     # one-hop context: prev/next class arrays via shift-and-pad —
     # full-array expressions evaluated once each (never element_at
@@ -151,21 +158,63 @@ def kept_lines_col(
     )
 
 
+def kept_lines_col(
+    lines: Column,
+    length_low: int = 70,
+    stopwords_high: float = 0.30,
+    stopwords_low: float = 0.15,
+) -> Column:
+    """Single-Column form of kept_lines_from_classes (inlines the
+    class computation 3x — use the DataFrame forms in hot paths)."""
+    return kept_lines_from_classes(
+        lines, classes_col(lines, length_low, stopwords_high, stopwords_low)
+    )
+
+
 def boilerplate_clean_col(
     col: Column,
     length_low: int = 70,
     stopwords_high: float = 0.30,
     stopwords_low: float = 0.15,
 ) -> Column:
-    """Text with boilerplate lines removed — the pipeline-stage form
-    (pure Column algebra: usable in batch and streaming projections
-    alike). NULL/empty text yields ''."""
+    """Text with boilerplate lines removed — the single-Column form
+    (usable inside any projection, batch or streaming). NULL/empty
+    text yields ''. Inlines the class computation 3x; hot paths (the
+    pipeline stage) use with_boilerplate_removed instead."""
     return F.array_join(
         kept_lines_col(
             trimmed_lines_col(col), length_low, stopwords_high, stopwords_low
         ),
         "\n",
     )
+
+
+def with_boilerplate_removed(
+    df: DataFrame,
+    text_col: str = "text",
+    length_low: int = 70,
+    stopwords_high: float = 0.30,
+    stopwords_low: float = 0.15,
+) -> DataFrame:
+    """Replace `text_col` with its boilerplate-cleaned form (NULL
+    stays NULL) — the pipeline-stage form. The line and class arrays
+    are staged as intermediate projected attributes so the per-line
+    stopword transform runs exactly ONCE per row (CollapseProject's
+    multi-reference guard refuses to inline a non-cheap alias
+    referenced more than once); the single-Column form pays it 3x.
+    Still map-only: projections add no exchange."""
+    d = df.withColumn("_bp_lines", trimmed_lines_col(F.col(text_col)))
+    d = d.withColumn(
+        "_bp_cls",
+        classes_col(F.col("_bp_lines"), length_low, stopwords_high, stopwords_low),
+    )
+    cleaned = F.array_join(
+        kept_lines_from_classes(F.col("_bp_lines"), F.col("_bp_cls")), "\n"
+    )
+    d = d.withColumn(
+        text_col, F.when(F.col(text_col).isNotNull(), cleaned)
+    )
+    return d.drop("_bp_lines", "_bp_cls")
 
 
 def boilerplate_lines(
@@ -184,12 +233,17 @@ def boilerplate_lines(
     jusText paragraph convention. boilerplate_ratio is the dropped
     fraction of non-empty lines (0.0 for an empty document)."""
     base = df.select(F.col(id_col), trimmed_lines_col(F.col(text_col)).alias("_lines"))
-    n = F.size(F.col("_lines"))
-    kept_lines = kept_lines_col(
-        F.col("_lines"), length_low, stopwords_high, stopwords_low
+    staged = base.select(
+        F.col(id_col),
+        F.col("_lines"),
+        classes_col(
+            F.col("_lines"), length_low, stopwords_high, stopwords_low
+        ).alias("_cls"),
     )
+    n = F.size(F.col("_lines"))
+    kept_lines = kept_lines_from_classes(F.col("_lines"), F.col("_cls"))
     content_n = F.size(kept_lines)
-    return base.select(
+    return staged.select(
         F.col(id_col),
         F.array_join(kept_lines, "\n").alias("text_content"),
         n.alias("lines_n"),

@@ -268,15 +268,10 @@ def curate(
         df = df.withColumn("text", mojibake_fix_col(F.col("text")))
     if cfg.remove_boilerplate:
         from pcornet_data_curation_spark.operators.boilerplate import (
-            boilerplate_clean_col,
+            with_boilerplate_removed,
         )
 
-        df = df.withColumn(
-            "text",
-            F.when(
-                F.col("text").isNotNull(), boilerplate_clean_col(F.col("text"))
-            ),
-        )
+        df = with_boilerplate_removed(df, "text")
     if precomputed_dedup:
         pass  # flag already on the rows (streaming stateful dedup)
     elif cfg.dedup != "off":

