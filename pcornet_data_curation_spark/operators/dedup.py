@@ -84,12 +84,15 @@ def dedup_against_snapshot(
     Scale shape: the snapshot reduces to DISTINCT 8-byte xxhash64
     fingerprints BEFORE the join (ids-only; a 100 TB snapshot becomes
     ~8 bytes x distinct docs, and a stored fingerprint table can feed
-    this directly). Both flag joins run over (fp, id) 16-byte rows —
-    the dedup family's ids-only discipline — and the batch PAYLOAD
-    joins the finished flag frame once, keyed by the UNIQUE id: a hot
-    fingerprint (empty pages, boilerplate) can never concentrate
-    payload rows on one task, because payload never partitions by fp
-    at all. AQE broadcasts the snapshot-fp and flag frames when small.
+    this directly). All flag computation runs over (fp, id) 16-byte
+    rows — the dedup family's ids-only discipline — collapsing to ONE
+    flag row per id (flags OR over same-id copies; NULL ids form
+    their own group), and the batch PAYLOAD left-joins that frame
+    once via a null-safe id match: row-count out == row-count in
+    always, and a hot fingerprint (empty pages, boilerplate) can
+    never concentrate payload rows on one task, because payload never
+    partitions by fp at all. AQE broadcasts the snapshot-fp and flag
+    frames when small.
     The trade: the text column is read twice (once pruned-to-hash,
     once in the payload join) — a column-pruned parquet re-scan,
     cheaper than shuffling payload on a skewed key. Hash collisions:
@@ -102,19 +105,35 @@ def dedup_against_snapshot(
     snap_fps = (
         snapshot.select(fpc.alias("_fp")).distinct().withColumn("_in_snap", F.lit(True))
     )
-    ids = batch.select(F.col(id_col), fpc.alias("_fp"))
-    survivors = ids.groupBy("_fp").agg(F.min(id_col).alias("_min_id"))
+    ids = batch.select(F.col(id_col).alias("_bid"), fpc.alias("_fp"))
+    survivors = ids.groupBy("_fp").agg(F.min("_bid").alias("_min_id"))
+    # one flag row PER ID (max = OR over same-id copies) so the payload
+    # join below can never multiply rows; NULL ids form their own group
+    # and match back via eqNullSafe — row-count out == row-count in,
+    # always. A NULL id has no orderable within-batch survivor, so its
+    # dup_in_batch is False (the exact_dedup null-key discipline:
+    # don't dedup among unidentifiable rows, surface them to checks);
+    # its in_snapshot flag is fp-based and stays fully valid.
     flags = (
         ids.join(snap_fps, "_fp", "left")
         .join(survivors, "_fp")
         .select(
-            id_col,
+            "_bid",
             F.coalesce(F.col("_in_snap"), F.lit(False)).alias("in_snapshot"),
-            (F.col(id_col) != F.col("_min_id")).alias("dup_in_batch"),
+            F.coalesce(F.col("_bid") != F.col("_min_id"), F.lit(False)).alias(
+                "dup_in_batch"
+            ),
+        )
+        .groupBy("_bid")
+        .agg(
+            F.max("in_snapshot").alias("in_snapshot"),
+            F.max("dup_in_batch").alias("dup_in_batch"),
         )
     )
-    return batch.join(flags, id_col).withColumn(
-        "keep", ~F.col("in_snapshot") & ~F.col("dup_in_batch")
+    return (
+        batch.join(flags, F.col(id_col).eqNullSafe(F.col("_bid")), "left")
+        .drop("_bid")
+        .withColumn("keep", ~F.col("in_snapshot") & ~F.col("dup_in_batch"))
     )
 
 

@@ -4,19 +4,29 @@ respect publisher opt-outs at curation time (crawlers honor these at
 fetch time; a curation engine re-processing stored WARCs must re-check
 them itself — the C4/CCNet-class politeness stage).
 
-Parsing contract (deliberately regex-shallow, like the extraction
-chain): the FIRST `<meta ... name=robots ...>` tag wins, attribute
-order free (name-then-content and content-then-name both match),
-quoting optional, ASCII-lowercased before matching (explicit lower(),
-never (?i) — the repo's Java-vs-RE2 unicode-case gotcha). Directives
-are comma/space-separated tokens per the robots-meta convention;
-matching is on the token list of the FIRST robots tag only, the rule
-real crawlers apply. A `none` directive means noindex+nofollow.
+Parsing contract (regex-shallow like the extraction chain, but
+robots-convention-correct where it matters):
 
-Scale shape: three regexp_extracts + substring predicates over one
-column — map-only, zero exchanges, whole-stage codegen, streaming-
-safe. html may be binary (WARC payload) or string; binary is decoded
-as UTF-8 by the cast.
+  * ALL `<meta>` tags are scanned; a tag is a robots tag iff its
+    name attribute VALUE equals `robots` exactly (quoted or not) —
+    a value-equality test, so `name="robots-extra"` and a
+    `name=robots` substring inside some other attribute's VALUE never
+    match (the attr is re-extracted per tag, leftmost `name=` wins);
+  * directives from EVERY robots tag are combined, so the most
+    restrictive wins — the rule real crawlers apply when a page
+    carries several robots tags (`content="index"` + a later
+    `content="noindex"` ⇒ noindex);
+  * attribute order and quoting are free; values and the whitespace
+    around `=` may span newlines (prettified html);
+  * matching is ASCII-lowercased first (explicit lower(), never
+    `(?i)` — the repo's Java-vs-RE2 unicode-case gotcha) and
+    directive tokens are comma/whitespace-separated (token equality,
+    never substring: `noindexfoo` is not an opt-out);
+  * a `none` directive means noindex+nofollow.
+
+Scale shape: one regexp_extract_all + per-tag array HOFs over one
+column — map-only, zero exchanges, streaming-safe. html may be binary
+(WARC payload) or string; binary is decoded as UTF-8 by the cast.
 
 Reference analog: the per-record valid-flag derivations feeding the
 rule engine (potential_code_errors.sas:310-344) — a surface predicate
@@ -28,50 +38,59 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# explicit whitespace class (no \s), single-line matching only
+# explicit whitespace class (no \s); includes \r\n — attributes and
+# the '=' may be wrapped across lines in prettified html
 _WS = "[ \\t\\r\\n]*"
 
-# first <meta ...> tag whose name attribute is robots; group 1 = the
-# full tag body, from which content= is then extracted. Two passes
-# keep attribute order free without a combinatorial pattern.
-ROBOTS_TAG_RE = (
-    "(<meta[^>]*name" + _WS + "=" + _WS + "[\"']?robots[\"']?[^>]*>)"
-)
-CONTENT_ATTR_RE = (
-    "content" + _WS + "=" + _WS + "(?:\"([^\"]*)\"|'([^']*)'|([^ \\t\"'>]+))"
-)
+# every meta tag; robots-ness is decided per tag by NAME_ATTR_RE
+META_TAG_RE = "<meta[^>]*>"
+
+# attribute value as a three-way quoted alternation; the unquoted
+# class stops at whitespace INCLUDING newlines, quotes, '>', and '/'
+# (self-closing tail), so a value never swallows tag syntax
+_ATTR_VAL = "(?:\"([^\"]*)\"|'([^']*)'|([^ \\t\\r\\n\"'>/]+))"
+NAME_ATTR_RE = "name" + _WS + "=" + _WS + _ATTR_VAL
+CONTENT_ATTR_RE = "content" + _WS + "=" + _WS + _ATTR_VAL
+
+# directive-list token separator — comma/whitespace including \r\n
+# (quoted directive lists may wrap); shared with the oracle generator
+TOKEN_SPLIT_RE = "[ \\t\\r\\n,]+"
 
 
-def robots_directives_col(html: Column) -> Column:
-    """Lower-cased content attribute of the first robots meta tag
-    ('' when no robots tag or no content attribute)."""
-    low = F.lower(html.cast("string"))
-    tag = F.regexp_extract(low, ROBOTS_TAG_RE, 1)
+def _attr_val(tag: Column, attr_re: str) -> Column:
+    """Value of the (leftmost) attribute matched by attr_re in one
+    tag — exactly one of the three alternation groups participates,
+    the others extract ''."""
     return F.concat_ws(
         "",
-        F.regexp_extract(tag, CONTENT_ATTR_RE, 1),
-        F.regexp_extract(tag, CONTENT_ATTR_RE, 2),
-        F.regexp_extract(tag, CONTENT_ATTR_RE, 3),
+        F.regexp_extract(tag, attr_re, 1),
+        F.regexp_extract(tag, attr_re, 2),
+        F.regexp_extract(tag, attr_re, 3),
     )
 
 
-# directive-list token separator (comma/space per the robots-meta
-# convention); shared with the oracle generator
-TOKEN_SPLIT_RE = "[ \\t,]+"
+def robots_directives_col(html: Column) -> Column:
+    """Comma-joined, lower-cased content values of ALL robots meta
+    tags ('' when the page has none)."""
+    low = F.lower(html.cast("string"))
+    tags = F.regexp_extract_all(low, F.lit(META_TAG_RE), 0)
+    robots_tags = F.filter(tags, lambda t: _attr_val(t, NAME_ATTR_RE) == "robots")
+    return F.array_join(
+        F.transform(robots_tags, lambda t: _attr_val(t, CONTENT_ATTR_RE)), ","
+    )
 
 
 def _has_token(directives: Column, token: str) -> Column:
-    """Token membership in the comma/space-separated directive list —
-    substring matching would let 'noindexfoo' match, token split does
-    not."""
+    """Token membership in the comma/whitespace-separated directive
+    list — substring matching would let 'noindexfoo' match, token
+    split does not."""
     toks = F.split(directives, TOKEN_SPLIT_RE)
     return F.array_contains(toks, token) | F.array_contains(toks, "none")
 
 
 def robots_noindex_col(html: Column) -> Column:
-    """True when the page's first robots meta tag carries noindex (or
-    none) — the pipeline-stage form (`cfg.respect_noindex`); NULL html
-    is False."""
+    """True when ANY robots meta tag carries noindex (or none) — the
+    pipeline-stage form (`cfg.respect_noindex`); NULL html is False."""
     return _has_token(
         robots_directives_col(F.coalesce(html, F.lit(""))), "noindex"
     )
@@ -83,9 +102,10 @@ def robots_meta(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, robots_directives, robots_noindex, robots_nofollow):
-    directive string of the first robots meta tag plus the two
-    standard opt-out flags (`none` implies both). NULL html yields
-    '' / False / False — an absent page body carries no directive."""
+    combined directive string of all robots meta tags plus the two
+    standard opt-out flags (`none` implies both; any tag's opt-out
+    wins). NULL html yields '' / False / False — an absent page body
+    carries no directive."""
     directives = robots_directives_col(F.coalesce(F.col(html_col), F.lit("")))
     return df.select(
         F.col(id_col),

@@ -2235,37 +2235,43 @@ FROM fin
 """
 
 
-# robots-meta fixture head variants: directive forms a shallow parser
-# must handle — quoted pair, content-first unquoted name, explicit
-# allow, unrelated meta, uppercase name + unquoted `none`
+# robots-meta fixture head variants: directive forms the parser must
+# handle — quoted pair, content-first unquoted name, explicit allow,
+# unrelated meta, uppercase name + unquoted `none`, multi-tag
+# most-restrictive combination, name-prefix lookalike (must NOT match)
 _ROBOTS_HEADS = (
     '<meta name="robots" content="noindex, nofollow">',
     "<meta content='nofollow' name=robots>",
     '<meta name="robots" content="index, follow">',
     '<meta name="viewport" content="width=device-width">',
     "<meta name=ROBOTS content=none>",
+    '<meta name="robots" content="index"><meta name="robots" content="noindex">',
+    '<meta name="robots-extra" content="noindex">',
 )
 
 
 def q_robots_meta(spark, sf_dir):
     """Robots meta-directive detection (robotsmeta.robots_meta): the
     curation-side politeness check over stored page html. The fixture
-    wraps each doc's text in html whose head rotates through five meta
-    shapes — quoted noindex+nofollow, content-before-name with mixed
-    quoting, an explicit allow, an unrelated meta tag, and an
-    uppercase name with an unquoted `none` (implies both opt-outs) —
-    so attribute order, quoting style, case folding, token (not
-    substring) matching, and the none expansion are all value-hash-
-    checked; the oracle replays the module's own regexes."""
+    wraps each doc's text in html whose head rotates through seven
+    meta shapes — quoted noindex+nofollow, content-before-name with
+    mixed quoting, an explicit allow, an unrelated meta tag, an
+    uppercase name with an unquoted `none` (implies both opt-outs), a
+    TWO-tag page where the later noindex must win (most-restrictive
+    combination), and a `robots-extra` name lookalike that must NOT
+    match — so attribute order, quoting style, case folding, token
+    (not substring) matching, name value-equality, multi-tag
+    combination, and the none expansion are all value-hash-checked;
+    the oracle replays the module's own regexes."""
     from pcornet_data_curation_spark.operators.robotsmeta import robots_meta
 
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
-    head = F.when(d % 5 == 0, F.lit(_ROBOTS_HEADS[0]))
-    for i in range(1, 4):
-        head = head.when(d % 5 == i, F.lit(_ROBOTS_HEADS[i]))
-    head = head.otherwise(F.lit(_ROBOTS_HEADS[4]))
+    head = F.when(d % 7 == 0, F.lit(_ROBOTS_HEADS[0]))
+    for i in range(1, 6):
+        head = head.when(d % 7 == i, F.lit(_ROBOTS_HEADS[i]))
+    head = head.otherwise(F.lit(_ROBOTS_HEADS[6]))
     html = F.concat(
         F.lit("<html><head>"), head,
         F.lit("<title>t</title></head><body><p>"), norm,
@@ -2275,19 +2281,28 @@ def q_robots_meta(spark, sf_dir):
 
 
 def _sql_robots_meta() -> str:
-    """Oracle generated from the robotsmeta module's own regexes (tag,
-    content-attr alternation, token split) — DuckDB returns '' for
-    non-participating alternation groups exactly like Spark, so the
-    concat-of-groups trick ports verbatim."""
+    """Oracle generated from the robotsmeta module's own regexes (meta
+    tag scan, name/content attr alternations, token split) — DuckDB
+    returns '' for non-participating alternation groups exactly like
+    Spark, so the concat-of-groups value extraction ports verbatim,
+    and list_filter/list_transform replay the all-tags combination."""
     from pcornet_data_curation_spark.operators import robotsmeta as RM
 
     def _q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    tag = _q(RM.ROBOTS_TAG_RE)
+    tag = _q(RM.META_TAG_RE)
+    name = _q(RM.NAME_ATTR_RE)
     content = _q(RM.CONTENT_ATTR_RE)
     split = _q(RM.TOKEN_SPLIT_RE)
     heads = [_q(h) for h in _ROBOTS_HEADS]
+
+    def _val(attr: str) -> str:
+        return (
+            f"concat_ws('', regexp_extract(t, {attr}, 1), "
+            f"regexp_extract(t, {attr}, 2), regexp_extract(t, {attr}, 3))"
+        )
+
     return f"""
 WITH d AS (
   SELECT doc_id,
@@ -2297,21 +2312,25 @@ WITH d AS (
 h AS (
   SELECT doc_id,
          '<html><head>' ||
-         (CASE WHEN doc_id % 5 = 0 THEN {heads[0]}
-               WHEN doc_id % 5 = 1 THEN {heads[1]}
-               WHEN doc_id % 5 = 2 THEN {heads[2]}
-               WHEN doc_id % 5 = 3 THEN {heads[3]}
-               ELSE {heads[4]} END) ||
+         (CASE WHEN doc_id % 7 = 0 THEN {heads[0]}
+               WHEN doc_id % 7 = 1 THEN {heads[1]}
+               WHEN doc_id % 7 = 2 THEN {heads[2]}
+               WHEN doc_id % 7 = 3 THEN {heads[3]}
+               WHEN doc_id % 7 = 4 THEN {heads[4]}
+               WHEN doc_id % 7 = 5 THEN {heads[5]}
+               ELSE {heads[6]} END) ||
          '<title>t</title></head><body><p>' || norm || '</p></body></html>' AS html
   FROM d
 ),
-t AS (SELECT doc_id, regexp_extract(lower(html), {tag}, 1) AS tag FROM h),
 c AS (
   SELECT doc_id,
-         concat_ws('', regexp_extract(tag, {content}, 1),
-                       regexp_extract(tag, {content}, 2),
-                       regexp_extract(tag, {content}, 3)) AS robots_directives
-  FROM t
+         coalesce(array_to_string(
+           list_transform(
+             list_filter(regexp_extract_all(lower(html), {tag}),
+                         t -> {_val(name)} = 'robots'),
+             t -> {_val(content)}),
+           ','), '') AS robots_directives
+  FROM h
 ),
 x AS (
   SELECT doc_id, robots_directives,

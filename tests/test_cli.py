@@ -185,11 +185,14 @@ def test_pyfiles_zip_imports_and_is_deterministic(tmp_path):
     """The spark-submit --py-files artifact: package imports from the
     zip alone in a fresh interpreter (executors see exactly this), no
     bytecode/test files inside, and two builds are byte-identical."""
+    import os
     import subprocess
     import sys
     import zipfile
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
     import build_pyfiles
 
     z1 = build_pyfiles.build(str(tmp_path / "a.zip"))

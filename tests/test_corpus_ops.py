@@ -600,9 +600,11 @@ def test_mojibake_fix_repairs_cp1252_round(spark):
 
 
 def test_robots_meta_directive_parsing(spark):
-    """Attribute order and quoting free; first robots tag wins; token
-    (not substring) matching; none implies both; binary html decodes;
-    NULL html carries no directive."""
+    """Attribute order and quoting free; ALL robots tags combine with
+    most-restrictive winning; token (not substring) matching; name
+    value-equality (no prefix/other-attr lookalikes); multi-line tags
+    parse; none implies both; binary html decodes; NULL html carries
+    no directive."""
     from pcornet_data_curation_spark.operators.robotsmeta import robots_meta
 
     rows = [
@@ -612,9 +614,13 @@ def test_robots_meta_directive_parsing(spark):
         (4, '<head><meta name="viewport" content="width=device-width"></head>'),
         (5, "<head><meta name=ROBOTS content=none></head>"),
         (6, '<head><meta name="robots" content="noindexfoo"></head>'),  # not a token
-        (7, '<head><meta name="robots" content="nofollow">'
-            '<meta name="robots" content="noindex"></head>'),  # first wins
+        (7, '<head><meta name="robots" content="index">'
+            '<meta name="robots" content="noindex"></head>'),  # most restrictive wins
         (8, None),
+        (9, '<head><meta name=robots\n content=noindex\n></head>'),  # prettified
+        (10, '<head><meta name="robots-extra" content="noindex"></head>'),  # lookalike
+        (11, '<head><meta name="keywords" content="name=robots noindex"></head>'),
+        (12, '<head><meta name="robots" content="noindex,\nnofollow"></head>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html string")
     out = robots_meta(df).toPandas().set_index("doc_id").sort_index()
@@ -624,8 +630,12 @@ def test_robots_meta_directive_parsing(spark):
     assert out.loc[4, "robots_directives"] == ""
     assert bool(out.loc[5, "robots_noindex"]) and bool(out.loc[5, "robots_nofollow"])
     assert not out.loc[6, "robots_noindex"]
-    assert not out.loc[7, "robots_noindex"] and bool(out.loc[7, "robots_nofollow"])
+    assert bool(out.loc[7, "robots_noindex"])  # later noindex overrides index
     assert out.loc[8, "robots_directives"] == "" and not out.loc[8, "robots_noindex"]
+    assert bool(out.loc[9, "robots_noindex"])  # newline-wrapped attributes
+    assert out.loc[10, "robots_directives"] == ""  # name prefix is NOT robots
+    assert out.loc[11, "robots_directives"] == ""  # name= inside a VALUE ignored
+    assert bool(out.loc[12, "robots_noindex"]) and bool(out.loc[12, "robots_nofollow"])
 
     bin_df = spark.createDataFrame(
         [(9, '<meta name="robots" content="noindex">'.encode())],
@@ -633,3 +643,35 @@ def test_robots_meta_directive_parsing(spark):
     )
     b = robots_meta(bin_df).toPandas().iloc[0]
     assert bool(b["robots_noindex"])
+
+
+def test_dedup_against_snapshot_null_and_duplicate_ids(spark):
+    """Row preservation under degenerate keys: a NULL-id row survives
+    the payload join (null-safe match) with valid fp-based in_snapshot
+    and dup_in_batch False (no orderable survivor among unidentifiable
+    rows); duplicate-id rows come back exactly once each (flags OR'd
+    over the copies), never multiplied."""
+    from pcornet_data_curation_spark.operators.dedup import dedup_against_snapshot
+
+    snap = spark.createDataFrame([(900, "old page")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (None, "old page"),   # NULL id, text in snapshot
+            (None, "fresh one"),  # NULL id, new text
+            (7, "same id text"),  # duplicate id...
+            (7, "old page"),      # ...one copy's text in snapshot
+            (8, "fresh two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against_snapshot(batch, snap).toPandas()
+    assert len(out) == 5  # no row loss, no multiplication
+    nulls = out[out.doc_id.isna()]
+    assert len(nulls) == 2
+    assert set(nulls.in_snapshot) == {True} or sorted(nulls.in_snapshot) == [False, True]
+    assert not nulls.dup_in_batch.any()
+    seven = out[out.doc_id == 7]
+    assert len(seven) == 2
+    # flags are per-id (OR over copies): both rows agree
+    assert len(set(seven.in_snapshot)) == 1 and bool(seven.in_snapshot.iloc[0])
+    assert bool(out[out.doc_id == 8].keep.iloc[0])

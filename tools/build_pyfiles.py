@@ -11,9 +11,14 @@ content-addressed / cached by the cluster deploy tooling).
 
     spark-submit --py-files dist/pcornet_data_curation_spark.zip \
         --deploy-mode cluster your_job.py
-    # or the package CLI directly:
+    # spark-submit has no -m; to drive the package CLI on a cluster,
+    # ship a two-line driver file next to the zip:
+    #   # run_cli.py
+    #   import sys
+    #   from pcornet_data_curation_spark.__main__ import main
+    #   sys.exit(main(sys.argv[1:]))
     spark-submit --py-files dist/pcornet_data_curation_spark.zip \
-        -m pcornet_data_curation_spark run --input ... --output ...
+        run_cli.py run --input ... --output ...
 
 Only the package itself ships — tests, tools, and docs stay out of the
 executor path.
