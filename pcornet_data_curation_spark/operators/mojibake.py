@@ -17,7 +17,13 @@ A fixed table repairs only one round of cp1252 mojibake for the
 characters listed — the dominant real-world case (Western-language
 punctuation + accented Latin). It deliberately does not attempt
 ftfy's full heuristic search; unknown sequences pass through
-untouched.
+untouched. One inherent ambiguity (property-test-discovered,
+tests/test_properties.py): a clean string that LITERALLY contains a
+broken form — e.g. the two characters 'Ã–' — is byte-identical to
+mojibake of 'Ö' and is repaired; no table-driven fixer can
+distinguish the two, and real corpora overwhelmingly contain such
+sequences as damage, not content (ftfy makes the same default
+choice).
 
 Scale shape: a chain of LITERAL string replaces (StringReplace,
 whole-stage codegen, no regex engine) — per-row JVM work, zero

@@ -130,3 +130,114 @@ def test_extract_encode_roundtrip_any_unicode(text):
     got = py_extract(page)
     want = re.sub(EXC.WS, " ", text + " footer & nav").strip()
     assert got == want, repr(text)
+
+
+def _py_canonical_url(url: str) -> str:
+    """Python twin of urlnorm.canonical_url_col built from the SAME
+    spec constants ('$1' backref -> '\\1'); patterns are deliberately
+    Java∩RE2∩Python-portable (explicit classes, no \\s \\d \\w)."""
+    import re
+
+    from pcornet_data_curation_spark.operators import urlnorm as UN
+
+    m = re.search(UN._AUTH_SPLIT_RE, url)
+    auth = m.group(1) if m and m.group(1) else ""
+    rest = (m.group(2) or "") if m else ""
+    if auth == "":
+        return re.sub(UN.FRAGMENT_STEP[0], UN.FRAGMENT_STEP[1], url)
+    a = auth.lower()
+    for pat, rep in UN.AUTH_STEPS:
+        a = re.sub(pat, rep.replace("$", "\\"), a)
+    nf = re.sub(UN.FRAGMENT_STEP[0], UN.FRAGMENT_STEP[1], rest)
+    pm = re.search(UN._REST_PATH_RE, nf)
+    qm = re.search(UN._REST_QUERY_RE, nf)
+    path = pm.group(1) if pm else ""
+    q = (qm.group(1) or "") if qm else ""
+    for pat, rep in UN.QUERY_STEPS:
+        q = re.sub(pat, rep, q)
+    r = path + q
+    return a + (r if r != "" else "/")
+
+
+_url_strategy = st.one_of(
+    # url-shaped: scheme://host[:port]/path[?query][#frag] from a
+    # deliberately nasty alphabet (&, ?, #, =, %, unicode, brackets)
+    st.builds(
+        lambda scheme, host, port, path, q, frag: (
+            f"{scheme}://{host}{port}{path}{q}{frag}"
+        ),
+        st.sampled_from(["http", "HTTP", "https", "ftp"]),
+        st.text(
+            alphabet="aB9.-[]:é", min_size=1, max_size=12
+        ).map(lambda s: s or "h"),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.text(alphabet="/pq&=%.~é", max_size=15),
+        st.one_of(
+            st.just(""),
+            st.text(alphabet="abc&=?_0", max_size=12).map(lambda s: "?" + s),
+            st.just("?utm_source=x"),
+            st.just("?utm_a=1&b=2&utm_b=3"),
+        ),
+        st.sampled_from(["", "#frag", "#a#b"]),
+    ),
+    # arbitrary garbage must stay total and idempotent too
+    st.text(max_size=60),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_url_strategy)
+def test_canonical_url_idempotent_and_total(url):
+    """Canonicalization must be IDEMPOTENT — canonical keys feed
+    dedup, and a second normalization pass (re-crawl, re-run) must
+    never move a url to a different group — and total (never raises,
+    garbage maps to itself minus fragment)."""
+    c1 = _py_canonical_url(url)
+    c2 = _py_canonical_url(c1)
+    assert c2 == c1, (url, c1, c2)
+    assert "#" not in c1.split("://")[-1] or "://" not in c1
+
+
+def _py_mojibake_fix(s: str) -> str:
+    from pcornet_data_curation_spark.operators.mojibake import MOJIBAKE_STEPS
+
+    for bad, good in MOJIBAKE_STEPS:
+        s = s.replace(bad, good)
+    return s
+
+
+def _mojibake_safe_alphabet():
+    """ASCII + repaired chars that never appear INSIDE a broken form.
+    A char like 'Ã' is both repairable and part of other broken forms
+    — a clean string containing literal 'Ã–' is indistinguishable
+    from mojibake of 'Ö', and the fixed-table repairer (like any
+    non-heuristic one) resolves the ambiguity toward repair. Found by
+    this very property test; the roundtrip guarantee is scoped to the
+    unambiguous alphabet."""
+    from pcornet_data_curation_spark.operators.mojibake import (
+        MOJIBAKE_STEPS,
+        REPAIRED_CHARS,
+    )
+
+    broken_chars = set("".join(bad for bad, _ in MOJIBAKE_STEPS))
+    safe = [c for c in REPAIRED_CHARS if c not in broken_chars]
+    assert len(safe) > 40  # the ambiguous residue is a handful
+    return list("abc DEF.!?'\"\n\t") + safe
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_mojibake_roundtrip_over_unambiguous_alphabet(data):
+    """For any string over ASCII + the unambiguously-repairable
+    characters, fix(sloppy_cp1252(utf8(text))) == text — the repair
+    chain exactly inverts the damage it claims to fix. (Strings
+    containing chars that themselves occur inside broken forms — 'Ã',
+    '€', … — are inherently ambiguous and deliberately out of scope:
+    the operator resolves lookalikes toward repair.)"""
+    from pcornet_data_curation_spark.operators.mojibake import _sloppy_cp1252
+
+    text = data.draw(
+        st.text(alphabet=st.sampled_from(_mojibake_safe_alphabet()), max_size=120)
+    )
+    broken = _sloppy_cp1252(text.encode("utf-8"))
+    assert _py_mojibake_fix(broken) == text
