@@ -128,9 +128,36 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--input", required=True, help="curated table (parquet dir / table: ref)")
     c.add_argument("--output", required=True, help="output parquet dir")
-    c.add_argument("--op", required=True, choices=["sample", "split", "pack"])
+    c.add_argument(
+        "--op", required=True,
+        choices=["sample", "split", "pack", "dedup", "neardedup", "decontaminate"],
+    )
     c.add_argument("--id-col", default="url")
     c.add_argument("--seed", type=int, default=0)
+    c.add_argument(
+        "--text-col", default="scrubbed_text",
+        help="dedup/neardedup/decontaminate: content column "
+        "(curated tables carry scrubbed_text)",
+    )
+    c.add_argument(
+        "--near-threshold", type=float, default=0.8,
+        help="neardedup: estimated-jaccard threshold",
+    )
+    c.add_argument(
+        "--bench", default=None,
+        help="decontaminate: benchmark/eval table (parquet dir / table: ref)",
+    )
+    c.add_argument("--bench-text-col", default="text")
+    c.add_argument(
+        "--decontam-mode", choices=["flag", "remove"], default="flag",
+        help="decontaminate: flag contaminated docs, or remove the "
+        "leaked spans and keep the rest",
+    )
+    c.add_argument(
+        "--decontam-k", type=int, default=13,
+        help="decontaminate: collision word-k-gram size (GPT-3/Llama "
+        "convention: 13)",
+    )
     c.add_argument("--strata-col", default="lang_pred", help="sample: stratum column")
     c.add_argument("--rates", default="{}", help="sample: JSON {stratum: keep_rate}")
     c.add_argument("--default-rate", type=float, default=1.0)
@@ -211,6 +238,37 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "split":
             out = hash_split(
                 df, json.loads(args.splits), id_col=args.id_col, seed=args.seed
+            )
+        elif args.op == "dedup":
+            from pcornet_data_curation_spark.operators.dedup import exact_dedup
+
+            out = exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+        elif args.op == "neardedup":
+            from pcornet_data_curation_spark.operators.dedup import (
+                near_dedup_survivors,
+            )
+
+            out = near_dedup_survivors(
+                df, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.near_threshold,
+            )
+        elif args.op == "decontaminate":
+            if not args.bench:
+                raise SystemExit("--op decontaminate requires --bench")
+            from pcornet_data_curation_spark.operators.decontam import (
+                contamination_flags,
+                decontaminate_remove,
+            )
+
+            fn = (
+                decontaminate_remove
+                if args.decontam_mode == "remove"
+                else contamination_flags
+            )
+            out = fn(
+                df, open_table(spark, args.bench), k=args.decontam_k,
+                text_col=args.text_col, id_col=args.id_col,
+                bench_text_col=args.bench_text_col,
             )
         else:
             out = pack_token_shards(

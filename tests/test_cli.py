@@ -212,3 +212,58 @@ def test_pyfiles_zip_imports_and_is_deterministic(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path), check=True,
     )
     assert out.stdout.strip() == "8"
+
+
+def test_cli_corpus_dedup_and_decontaminate_ops(spark, tmp_path, capsys):
+    """corpus subcommand round-5 ops: exact dedup, near-dedup
+    survivors, and benchmark decontamination (flag + remove) over a
+    parquet table from the CLI."""
+    import json as _json
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely different content lives here in this row now"),
+            (4, "held out benchmark sentence that must be flagged here ok"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9, "held out benchmark sentence that must be flagged here ok")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(bench)
+
+    ded = str(tmp_path / "ded")
+    assert main(["corpus", "--op", "dedup", "--input", src, "--output", ded,
+                 "--id-col", "doc_id", "--text-col", "text", "--cores", "8"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    dd = spark.read.parquet(ded).toPandas()
+    assert res["rows"] == 3 and sorted(dd["doc_id"]) == [1, 3, 4]
+
+    near = str(tmp_path / "near")
+    assert main(["corpus", "--op", "neardedup", "--input", src, "--output", near,
+                 "--id-col", "doc_id", "--text-col", "text", "--cores", "8"]) == 0
+    capsys.readouterr()
+    nd = spark.read.parquet(near).toPandas()
+    assert 2 not in set(nd["doc_id"])  # exact copy is also a near-dup
+
+    flg = str(tmp_path / "flag")
+    assert main(["corpus", "--op", "decontaminate", "--input", src,
+                 "--output", flg, "--bench", bench, "--id-col", "doc_id",
+                 "--text-col", "text", "--decontam-k", "8", "--cores", "8"]) == 0
+    capsys.readouterr()
+    fl = spark.read.parquet(flg).toPandas().set_index("doc_id")
+    assert bool(fl.loc[4, "contaminated"]) and not fl.loc[3, "contaminated"]
+
+    rem = str(tmp_path / "rem")
+    assert main(["corpus", "--op", "decontaminate", "--decontam-mode", "remove",
+                 "--input", src, "--output", rem, "--bench", bench,
+                 "--id-col", "doc_id", "--text-col", "text", "--decontam-k", "8",
+                 "--cores", "8"]) == 0
+    capsys.readouterr()
+    rm = spark.read.parquet(rem).toPandas().set_index("doc_id")
+    assert rm.loc[4, "text_decontaminated"] == "" and rm.loc[4, "removed_tokens_n"] > 0
+    assert rm.loc[3, "removed_tokens_n"] == 0
