@@ -53,6 +53,7 @@ HEADLINE = [
     "extract_text_lines",
     "line_dedup",
     "c4_line_filter",
+    "c4_sentence_dedup",
     "url_canonicalize",
     "domain_temperature_sample",
     "domain_cap",

@@ -130,7 +130,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True, help="output parquet dir")
     c.add_argument(
         "--op", required=True,
-        choices=["sample", "split", "pack", "dedup", "neardedup", "decontaminate"],
+        choices=[
+            "sample", "split", "pack", "dedup", "neardedup",
+            "decontaminate", "sentdedup",
+        ],
     )
     c.add_argument("--id-col", default="url")
     c.add_argument("--seed", type=int, default=0)
@@ -157,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
         "--decontam-k", type=int, default=13,
         help="decontaminate: collision word-k-gram size (GPT-3/Llama "
         "convention: 13)",
+    )
+    c.add_argument(
+        "--sent-window", type=int, default=3,
+        help="sentdedup: span width in sentences (C4 convention: 3)",
     )
     c.add_argument("--strata-col", default="lang_pred", help="sample: stratum column")
     c.add_argument("--rates", default="{}", help="sample: JSON {stratum: keep_rate}")
@@ -269,6 +276,13 @@ def main(argv: list[str] | None = None) -> int:
                 df, open_table(spark, args.bench), k=args.decontam_k,
                 text_col=args.text_col, id_col=args.id_col,
                 bench_text_col=args.bench_text_col,
+            )
+        elif args.op == "sentdedup":
+            from pcornet_data_curation_spark.operators.c4 import c4_sentence_dedup
+
+            out = c4_sentence_dedup(
+                df, text_col=args.text_col, id_col=args.id_col,
+                window=args.sent_window,
             )
         else:
             out = pack_token_shards(

@@ -2121,6 +2121,116 @@ FROM k
 """
 
 
+# the repeated three-sentence boilerplate span for the
+# c4_sentence_dedup fixture (appears twice per doc AND in every doc)
+_C4SD_BOILER = (
+    "Subscribe to our newsletter today. "
+    "Follow us on the social site! "
+    "Thanks for reading this page?"
+)
+
+
+def q_c4_sentence_dedup(spark, sf_dir):
+    """C4's dedup stage (operators/c4.c4_sentence_dedup): remove all
+    but one global occurrence of any OVERLAPPING three-sentence span
+    (Raffel et al. 2020 §2.2), keeper = minimum (doc_id, anchor). The
+    fixture appends the same three-sentence boilerplate span TWICE to
+    every doc (around a per-source sentence), so removal depends on a
+    doc's position both globally (one doc keeps the span's first
+    occurrence) and within its source group (the spans crossing the
+    per-source sentence dedup per source), and each doc's own text
+    splits into its natural sentences first — anchor alignment varies
+    per doc, which is exactly the case the fixed-block grid misses.
+    The oracle replays the module's own SENT_STEPS split chain and the
+    full keeper/marking/reassembly algebra on span STRINGS (Spark
+    joins on xxhash64 of the span — equality-equivalent)."""
+    from pcornet_data_curation_spark.operators.c4 import c4_sentence_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    src = F.coalesce(F.col("source"), F.lit(""))
+    mtext = F.concat(
+        norm,
+        F.lit(". " + _C4SD_BOILER + " Visit "),
+        src,
+        F.lit(" now. " + _C4SD_BOILER),
+    )
+    return c4_sentence_dedup(docs.select("doc_id", mtext.alias("text")))
+
+
+def _sql_c4_sentence_dedup(w: int = 3) -> str:
+    """Oracle generated from the c4 module's own SENT_STEPS constants
+    so the sentence-split chains cannot drift; the keeper algebra runs
+    on span strings (row_number over the span text ordered by
+    (doc_id, anchor)), the Spark side's hash-join equivalent."""
+    from pcornet_data_curation_spark.operators import c4 as C4
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    split_expr = "text"
+    for pat, rep in C4.SENT_STEPS:
+        kept_punct = rep[: -len(C4._SEP)]
+        split_expr = (
+            f"regexp_replace({split_expr}, {_q(pat)}, "
+            f"{_q(kept_punct)} || chr(30), 'g')"
+        )
+    boiler = _q(_C4SD_BOILER)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm,
+         coalesce(source, '') AS src
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         norm || '. ' || {boiler} || ' Visit ' || src || ' now. ' || {boiler} AS text
+  FROM d
+),
+sp AS (SELECT doc_id, string_split({split_expr}, chr(30)) AS sents FROM m),
+wx AS (
+  SELECT doc_id, CAST(p.idx AS INT) AS idx, p.w AS wtext
+  FROM (SELECT doc_id,
+               UNNEST([{{'idx': i - 1,
+                         'w': array_to_string(sents[i : i + {w - 1}], ' ')}}
+                       FOR i IN range(1, len(sents) - {w} + 2)]) AS p
+        FROM sp)
+),
+keep AS (
+  SELECT doc_id, idx,
+         row_number() OVER (PARTITION BY wtext ORDER BY doc_id, idx) AS rn
+  FROM wx
+),
+cov AS (
+  SELECT DISTINCT keep.doc_id, keep.idx + r.range AS si
+  FROM keep CROSS JOIN range({w}) r
+  WHERE keep.rn > 1
+),
+se AS (
+  SELECT doc_id, CAST(p.idx AS INT) AS si, p.s AS s
+  FROM (SELECT doc_id,
+               UNNEST([{{'idx': i - 1, 's': sents[i]}}
+                       FOR i IN range(1, len(sents) + 1)]) AS p
+        FROM sp)
+),
+reb AS (
+  SELECT se.doc_id, string_agg(se.s, ' ' ORDER BY se.si) AS text_deduped
+  FROM se LEFT JOIN cov ON se.doc_id = cov.doc_id AND se.si = cov.si
+  WHERE cov.si IS NULL
+  GROUP BY se.doc_id
+),
+covn AS (SELECT doc_id, COUNT(*) AS rem FROM cov GROUP BY doc_id)
+SELECT sp.doc_id,
+       COALESCE(reb.text_deduped, '') AS text_deduped,
+       CAST(len(sp.sents) AS INT) AS sentences_n,
+       CAST(CASE WHEN len(sp.sents) >= {w}
+                 THEN len(sp.sents) - {w} + 1 ELSE 0 END AS INT) AS windows_n,
+       CAST(COALESCE(covn.rem, 0) AS BIGINT) AS removed_sentences_n
+FROM sp LEFT JOIN reb USING (doc_id) LEFT JOIN covn USING (doc_id)
+"""
+
+
 # deterministic fixture lines for boilerplate_lines: one of each
 # jusText class (GOOD prose, NEAR headline, MARKER legal line, junk)
 _BP_GOOD = (
@@ -2409,6 +2519,7 @@ FROM s
 
 
 SQL_C4_LINE_FILTER = _sql_c4_line_filter()
+SQL_C4_SENTENCE_DEDUP = _sql_c4_sentence_dedup()
 
 
 def q_url_canonicalize(spark, sf_dir):
@@ -3539,6 +3650,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- new in r05 (second batch): must land in CORRECTNESS_r05 --
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "c4_sentence_dedup": (q_c4_sentence_dedup, SQL_C4_SENTENCE_DEDUP),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "domain_temperature_sample": (
         q_domain_temperature_sample,

@@ -267,3 +267,28 @@ def test_cli_corpus_dedup_and_decontaminate_ops(spark, tmp_path, capsys):
     rm = spark.read.parquet(rem).toPandas().set_index("doc_id")
     assert rm.loc[4, "text_decontaminated"] == "" and rm.loc[4, "removed_tokens_n"] > 0
     assert rm.loc[3, "removed_tokens_n"] == 0
+
+
+def test_cli_corpus_sentdedup_op(spark, tmp_path, capsys):
+    """corpus --op sentdedup: C4 three-sentence-span dedup from the
+    CLI — the repeated span survives only in its globally-first doc."""
+    import json as _json
+
+    b = ("Shared sentence number one. Shared sentence number two! "
+         "Shared sentence number three?")
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, f"Unique head of first doc. {b}"),
+         (2, f"{b} Unique tail of second doc.")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "sd")
+    assert main(["corpus", "--op", "sentdedup", "--input", src, "--output", out,
+                 "--id-col", "doc_id", "--text-col", "text", "--cores", "8"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sd = spark.read.parquet(out).toPandas().set_index("doc_id")
+    assert res["rows"] == 2
+    assert sd.loc[1, "removed_sentences_n"] == 0
+    assert sd.loc[2, "text_deduped"] == "Unique tail of second doc."
+    assert sd.loc[2, "removed_sentences_n"] == 3

@@ -675,3 +675,75 @@ def test_dedup_against_snapshot_null_and_duplicate_ids(spark):
     # flags are per-id (OR over copies): both rows agree
     assert len(set(seven.in_snapshot)) == 1 and bool(seven.in_snapshot.iloc[0])
     assert bool(out[out.doc_id == 8].keep.iloc[0])
+
+
+def test_c4_sentence_dedup_alignment_and_marking(spark):
+    """C4 three-sentence-span dedup (c4.c4_sentence_dedup): a shared
+    span is removed from every occurrence except the globally-first
+    one EVEN when its sentence alignment differs between docs (the
+    case a fixed block grid misses); a within-doc repeat keeps only
+    the first occurrence; docs with no repeated span come back
+    byte-identical to their normalized text; < window sentences means
+    no spans and no edits."""
+    from pcornet_data_curation_spark.operators.c4 import c4_sentence_dedup
+
+    b = ("One shared sentence here. Another shared sentence follows! "
+         "A third shared sentence ends?")
+    rows = [
+        (1, f"Unique opening for doc one. {b} Unique tail for doc one."),
+        # same span, different alignment (two lead sentences, not one)
+        (2, f"Doc two starts differently with words. Padding sentence two! {b}"),
+        (3, "Short doc."),
+        (4, None),
+        (5, "Solo doc with parts. Second part of solo doc! Third part of it?"),
+        (6, f"{b} Middle unique six. {b}"),  # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_sentence_dedup(df).toPandas().set_index("doc_id").sort_index()
+
+    # doc 1 holds the global keeper occurrence -> unchanged, byte-equal
+    assert out.loc[1, "text_deduped"] == rows[0][1]
+    assert out.loc[1, "removed_sentences_n"] == 0
+    assert out.loc[1, "sentences_n"] == 5 and out.loc[1, "windows_n"] == 3
+    # doc 2 loses the 3 shared sentences despite the alignment shift
+    assert out.loc[2, "text_deduped"] == (
+        "Doc two starts differently with words. Padding sentence two!"
+    )
+    assert out.loc[2, "removed_sentences_n"] == 3
+    # short / NULL docs: no windows, never edited
+    assert out.loc[3, "text_deduped"] == "Short doc." and out.loc[3, "windows_n"] == 0
+    assert out.loc[4, "text_deduped"] == "" and out.loc[4, "sentences_n"] == 0
+    # a doc whose spans are all unique is reconstructed byte-identically
+    assert out.loc[5, "text_deduped"] == rows[4][1]
+    assert out.loc[5, "removed_sentences_n"] == 0
+    # within-doc repeat: both occurrences are non-keepers (doc 1 holds
+    # the span's global keeper), so only the middle sentence survives
+    assert out.loc[6, "text_deduped"] == "Middle unique six."
+    assert out.loc[6, "removed_sentences_n"] == 6
+
+    # without doc 1, doc 6's FIRST occurrence becomes the keeper
+    solo = (
+        c4_sentence_dedup(df.where("doc_id = 6"))
+        .toPandas().set_index("doc_id")
+    )
+    assert solo.loc[6, "text_deduped"] == f"{b} Middle unique six."
+    assert solo.loc[6, "removed_sentences_n"] == 3
+
+
+def test_c4_sentence_dedup_window_override(spark):
+    """window=2 catches a two-sentence repeat the default window=3
+    cannot see (no doc has 3+ repeated consecutive sentences)."""
+    from pcornet_data_curation_spark.operators.c4 import c4_sentence_dedup
+
+    pair = "Shared first sentence here. Shared second sentence there!"
+    rows = [
+        (1, f"{pair} Tail of the first doc."),
+        (2, f"Fresh opening of doc two. {pair}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w3 = c4_sentence_dedup(df).toPandas().set_index("doc_id")
+    assert (w3["removed_sentences_n"] == 0).all()
+    w2 = c4_sentence_dedup(df, window=2).toPandas().set_index("doc_id")
+    assert w2.loc[1, "removed_sentences_n"] == 0
+    assert w2.loc[2, "text_deduped"] == "Fresh opening of doc two."
+    assert w2.loc[2, "removed_sentences_n"] == 2
