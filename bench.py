@@ -62,6 +62,7 @@ HEADLINE = [
     "boilerplate_lines",
     "mojibake_fix",
     "robots_meta",
+    "ccnet_quality_buckets",
     "dup_cluster_stats",
     "decontaminate_remove",
     "verdict_documents",

@@ -42,6 +42,9 @@ from pcornet_data_curation_spark.operators.reports import (
     tag_profile,
     ym_dense_fill,
 )
+from pcornet_data_curation_spark.operators.quality_buckets import (
+    TERCILES as TERCILE_CUTS,
+)
 from pcornet_data_curation_spark.operators.similarity import brute_force_topk, lsh_topk
 
 WS = "[ \\t\\n\\r\\f\\x0B]+"
@@ -3020,6 +3023,75 @@ FROM m
 """
 
 
+def q_ccnet_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail tiering (operators/quality_buckets.
+    score_buckets): per-SOURCE terciles of the pure-JVM composite
+    quality score — the oracle-checked twin of the pipeline's
+    perplexity tiering (Wenzek et al. 2020 §4.3 cuts each language's
+    docs into thirds by LM perplexity; here the group is the crawl
+    source and the score is textanalysis.quality_score, so the whole
+    chain stays SQL-expressible). exact=True percentile here; the
+    10^12-doc default is the approx_percentile sketch (module doc).
+    Tercile boundaries are interpolated BETWEEN order statistics, so a
+    1-ulp cross-engine wobble cannot move a document across a cut
+    (only an exact tie with a repeated order statistic sits ON a
+    boundary, and then both engines compute the identical value)."""
+    from pcornet_data_curation_spark.operators.quality_buckets import score_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    q = TA.quality_score(docs).select("doc_id", "quality")
+    d = q.join(
+        docs.select(
+            "doc_id", F.coalesce(F.col("source"), F.lit("")).alias("source")
+        ),
+        "doc_id",
+    ).select("doc_id", "source", "quality")
+    out = score_buckets(d, "quality", "source", exact=True)
+    return out.select("doc_id", "source", "quality", "bucket")
+
+
+SQL_CCNET_QUALITY_BUCKETS = f"""
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '') AS c,
+         coalesce(source, '') AS source,
+         CASE WHEN length(trim(regexp_replace(coalesce(text,''), '{WS_SQL}', ' ', 'g'))) = 0 THEN 0.0
+              ELSE len(string_split(trim(regexp_replace(coalesce(text,''), '{WS_SQL}', ' ', 'g')), ' '))
+         END AS n_tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, n_tok,
+         CAST(len(string_split(c, '.')) - 1
+              + len(string_split(c, '!')) - 1
+              + len(string_split(c, '?')) - 1 AS DOUBLE) AS sent_marks,
+         CAST(len(string_split(' ' || {_QS_NORM} || ' ', ' the ')) - 1
+              + len(string_split(' ' || {_QS_NORM} || ' ', ' and ')) - 1
+              + len(string_split(' ' || {_QS_NORM} || ' ', ' of ')) - 1 AS DOUBLE) AS stop_hits
+  FROM s
+),
+d AS (
+  SELECT doc_id, source,
+         (LEAST(n_tok / 100.0, 1.0)
+          + LEAST(sent_marks / GREATEST(n_tok / 20.0, 1.0), 1.0)
+          + LEAST(stop_hits / GREATEST(n_tok / 10.0, 1.0), 1.0)) / 3.0 AS quality
+  FROM m
+),
+th AS (
+  SELECT source,
+         quantile_cont(quality, {TERCILE_CUTS[0]!r}) AS q0,
+         quantile_cont(quality, {TERCILE_CUTS[1]!r}) AS q1
+  FROM d GROUP BY source
+)
+SELECT d.doc_id, d.source, d.quality,
+       CASE WHEN d.quality IS NULL THEN NULL
+            WHEN d.quality <= th.q0 THEN 'head'
+            WHEN d.quality <= th.q1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN th USING (source)
+"""
+
+
 def q_scrub_email(spark, sf_dir):
     """Email-PII scrub with a DuckDB-replayable (RE2-safe) pattern; the
     full lookaround chain is byte-identity-tested against the Python
@@ -3667,6 +3739,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dup_cluster_stats": (q_dup_cluster_stats, _sql_dup_cluster_stats),
     "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix),
     "robots_meta": (q_robots_meta, _sql_robots_meta),
+    "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_QUALITY_BUCKETS),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:

@@ -747,3 +747,54 @@ def test_c4_sentence_dedup_window_override(spark):
     assert w2.loc[1, "removed_sentences_n"] == 0
     assert w2.loc[2, "text_deduped"] == "Fresh opening of doc two."
     assert w2.loc[2, "removed_sentences_n"] == 2
+
+
+def test_score_buckets_terciles_groups_and_nulls(spark):
+    """CCNet tiering (quality_buckets.score_buckets): per-group exact
+    terciles put the lowest third in 'head' (CCNet orientation: lower
+    perplexity = better); a NULL group is its OWN group (null-safe
+    join); NULL scores get NULL buckets; global mode (group_col=None)
+    cuts the whole frame; custom labels/cuts respected."""
+    from pcornet_data_curation_spark.operators.quality_buckets import score_buckets
+
+    rows = [(i, "g" if i < 9 else None, float(i)) for i in range(1, 13)]
+    rows.append((13, "g", None))
+    df = spark.createDataFrame(rows, "doc_id int, grp string, score double")
+
+    out = (
+        score_buckets(df, "score", "grp", exact=True)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(out.loc[1:8, "bucket"]) == ["head"] * 3 + ["middle"] * 2 + ["tail"] * 3
+    # the NULL-group rows tier among themselves, not inside 'g'
+    assert list(out.loc[9:12, "bucket"]) == ["head", "head", "middle", "tail"]
+    assert out.loc[13, "bucket"] is None or out.loc[13, "bucket"] != out.loc[13, "bucket"]
+
+    glob = (
+        score_buckets(df, "score", None, exact=True, labels=("a", "b", "c"))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(glob.loc[1:12, "bucket"]) == ["a"] * 4 + ["b"] * 4 + ["c"] * 4
+
+    # quartiles via custom cuts; approx mode agrees with exact on a
+    # frame far smaller than the sketch accuracy
+    q = score_buckets(
+        df.where("score IS NOT NULL"), "score", None,
+        cuts=(0.25, 0.5, 0.75), labels=("q1", "q2", "q3", "q4"), exact=True,
+    ).toPandas().set_index("doc_id").sort_index()
+    assert list(q["bucket"]) == ["q1"] * 3 + ["q2"] * 3 + ["q3"] * 3 + ["q4"] * 3
+    # approx mode (the 10^12-row default): approx_percentile returns a
+    # DATA value rather than an interpolated one, so boundary rows may
+    # differ from exact — assert the tiering is monotone in score and
+    # all three tiers are used
+    approx = (
+        score_buckets(df, "score", "grp")  # default exact=False
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    ranks = {"head": 0, "middle": 1, "tail": 2}
+    seq = [ranks[b] for b in approx.loc[1:8, "bucket"]]
+    assert seq == sorted(seq) and set(seq) == {0, 1, 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        score_buckets(df, "score", labels=("only", "two"), cuts=(0.1, 0.5, 0.9))
