@@ -132,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
         "--op", required=True,
         choices=[
             "sample", "split", "pack", "dedup", "neardedup",
-            "decontaminate", "sentdedup",
+            "decontaminate", "sentdedup", "tier",
         ],
     )
     c.add_argument("--id-col", default="url")
@@ -164,6 +164,20 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--sent-window", type=int, default=3,
         help="sentdedup: span width in sentences (C4 convention: 3)",
+    )
+    c.add_argument(
+        "--tier-score-col", default="ppl",
+        help="tier: score column (curated tables carry ppl; CCNet "
+        "orientation — LOWER score tiers as head)",
+    )
+    c.add_argument(
+        "--tier-group-col", default="lang_pred",
+        help="tier: per-group tiering column ('' = global terciles)",
+    )
+    c.add_argument(
+        "--tier-exact", action="store_true",
+        help="tier: exact percentile thresholds instead of the "
+        "bounded-state approx sketch (web-scale default)",
     )
     c.add_argument("--strata-col", default="lang_pred", help="sample: stratum column")
     c.add_argument("--rates", default="{}", help="sample: JSON {stratum: keep_rate}")
@@ -283,6 +297,16 @@ def main(argv: list[str] | None = None) -> int:
             out = c4_sentence_dedup(
                 df, text_col=args.text_col, id_col=args.id_col,
                 window=args.sent_window,
+            )
+        elif args.op == "tier":
+            from pcornet_data_curation_spark.operators.quality_buckets import (
+                score_buckets,
+            )
+
+            out = score_buckets(
+                df, args.tier_score_col,
+                group_col=args.tier_group_col or None,
+                exact=args.tier_exact,
             )
         else:
             out = pack_token_shards(

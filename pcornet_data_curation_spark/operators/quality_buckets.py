@@ -3,10 +3,14 @@ head/middle/tail tiers by a quality (or perplexity) score (Wenzek et
 al. 2020 §4.3: per-language LM-perplexity terciles; training recipes
 then sample by tier, e.g. keep head+middle, downsample tail).
 
-The operator is SCORE-AGNOSTIC: the pipeline feeds it the pandas-UDF
-perplexity column (operators/score.py), the oracle-checked registry
-query feeds it the pure-JVM composite quality score
-(textanalysis.quality_score) — the bucketing algebra is identical.
+The operator is SCORE-AGNOSTIC: the corpus CLI (`corpus --op tier`)
+feeds it the curated table's pandas-UDF perplexity column
+(operators/score.py) grouped by lang_pred — CCNet's exact shape, run
+POST-curation because tier thresholds are a corpus-level statistic
+and the curation pipeline processes resumable buckets — while the
+oracle-checked registry query feeds it the pure-JVM composite quality
+score (textanalysis.quality_score); the bucketing algebra is
+identical.
 
 Reference analog: the percentile ladder of the %cont/%t_cont macros
 (edc_report.sas continuous-variable profiling) turned from a REPORT

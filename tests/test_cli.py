@@ -292,3 +292,27 @@ def test_cli_corpus_sentdedup_op(spark, tmp_path, capsys):
     assert sd.loc[1, "removed_sentences_n"] == 0
     assert sd.loc[2, "text_deduped"] == "Unique tail of second doc."
     assert sd.loc[2, "removed_sentences_n"] == 3
+
+
+def test_cli_corpus_tier_op(spark, tmp_path, capsys):
+    """corpus --op tier: CCNet tiering of a curated table's ppl column
+    per lang_pred from the CLI (exact thresholds for determinism)."""
+    import json as _json
+
+    src = str(tmp_path / "cur")
+    rows = [(f"u{i}", "en", float(i)) for i in range(1, 10)]
+    rows += [(f"v{i}", "de", float(100 - i)) for i in range(1, 4)]
+    spark.createDataFrame(rows, "url string, lang_pred string, ppl double") \
+        .write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "tiered")
+    assert main(["corpus", "--op", "tier", "--input", src, "--output", out,
+                 "--tier-exact", "--cores", "8"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    td = spark.read.parquet(out).toPandas().set_index("url")
+    assert res["rows"] == 12
+    # en: 1..9 -> head 1-3, middle 4-6, tail 7-9 (low ppl = head)
+    assert td.loc["u1", "bucket"] == "head" and td.loc["u9", "bucket"] == "tail"
+    assert td.loc["u5", "bucket"] == "middle"
+    # de tiers among itself despite globally-larger scores
+    assert td.loc["v3", "bucket"] == "head"
