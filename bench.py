@@ -63,6 +63,7 @@ HEADLINE = [
     "mojibake_fix",
     "robots_meta",
     "ccnet_quality_buckets",
+    "gopher_repetition",
     "dup_cluster_stats",
     "decontaminate_remove",
     "verdict_documents",

@@ -3092,6 +3092,106 @@ FROM d JOIN th USING (source)
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher's nine-rung repetition ladder (operators/repetition.
+    gopher_repetition): top-2/3/4-gram and dup-5..10-gram character
+    fractions per document (Rae et al. 2022 A1.1). The fixture appends
+    a six-word phrase repeated (doc_id % 4 + 1) times to each doc's
+    own text, so every rung takes non-trivial values that vary by doc
+    — a single repeat leaves dup-5/6 at their natural-text level while
+    two+ repeats light them up, and the top-gram rungs move with both
+    the injected phrase and the doc's own prose. The oracle replays
+    the identical tokenize → gram-explode → count → coverage algebra
+    (gram strings as keys in BOTH engines here, so even the hash trade
+    is absent)."""
+    from pcornet_data_curation_spark.operators.repetition import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    mtext = F.concat(
+        norm,
+        F.lit(" "),
+        F.repeat(F.lit("the cat sat on the mat "), (F.col("doc_id") % 4 + 1).cast("int")),
+    )
+    return gopher_repetition(docs.select("doc_id", mtext.alias("text")))
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH raw AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g'))
+         || ' ' || repeat('the cat sat on the mat ', CAST(doc_id % 4 + 1 AS INT)) AS text
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM raw
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+  FROM d
+),
+bt AS (
+  SELECT doc_id, toks,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS total
+  FROM b
+),
+g AS (
+  SELECT doc_id, n, CAST(p.i AS INT) AS i, p.g AS g
+  FROM (SELECT bt.doc_id, v.n,
+               UNNEST([{{'i': i - 1, 'g': array_to_string(toks[i : i + v.n - 1], ' ')}}
+                       FOR i IN range(1, len(toks) - v.n + 2)]) AS p
+        FROM bt CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n))
+),
+cnt AS (
+  SELECT doc_id, n, g, COUNT(*) AS c, list(i) AS pos
+  FROM g GROUP BY doc_id, n, g
+),
+topv AS (
+  SELECT doc_id, n, c, g,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g DESC) AS rn
+  FROM cnt WHERE c > 1
+),
+tops AS (
+  SELECT doc_id, n, c * (length(g) - (n - 1)) AS topchars
+  FROM topv WHERE rn = 1
+),
+dupa AS (
+  SELECT doc_id, n,
+         list_distinct(flatten(list_transform(
+           flatten(list(pos) FILTER (WHERE c > 1)), a -> range(a, a + n)))) AS covered
+  FROM cnt GROUP BY doc_id, n
+),
+dupc AS (
+  SELECT dupa.doc_id AS doc_id, dupa.n AS n,
+         coalesce(list_sum(list_transform(covered, p -> length(toks[p + 1]))), 0) AS dupchars
+  FROM dupa JOIN bt ON dupa.doc_id = bt.doc_id
+),
+fr AS (
+  SELECT dupc.doc_id AS doc_id, dupc.n AS n,
+         CASE WHEN bt.total > 0 THEN CAST(coalesce(tops.topchars, 0) AS DOUBLE) / bt.total ELSE 0.0 END AS topf,
+         CASE WHEN bt.total > 0 THEN CAST(dupc.dupchars AS DOUBLE) / bt.total ELSE 0.0 END AS dupf
+  FROM dupc
+  JOIN bt ON dupc.doc_id = bt.doc_id
+  LEFT JOIN tops ON tops.doc_id = dupc.doc_id AND tops.n = dupc.n
+)
+SELECT d.doc_id,
+       coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) AS top_2gram_char_frac,
+       coalesce(max(CASE WHEN n = 3 THEN topf END), 0.0) AS top_3gram_char_frac,
+       coalesce(max(CASE WHEN n = 4 THEN topf END), 0.0) AS top_4gram_char_frac,
+       coalesce(max(CASE WHEN n = 5 THEN dupf END), 0.0) AS dup_5gram_char_frac,
+       coalesce(max(CASE WHEN n = 6 THEN dupf END), 0.0) AS dup_6gram_char_frac,
+       coalesce(max(CASE WHEN n = 7 THEN dupf END), 0.0) AS dup_7gram_char_frac,
+       coalesce(max(CASE WHEN n = 8 THEN dupf END), 0.0) AS dup_8gram_char_frac,
+       coalesce(max(CASE WHEN n = 9 THEN dupf END), 0.0) AS dup_9gram_char_frac,
+       coalesce(max(CASE WHEN n = 10 THEN dupf END), 0.0) AS dup_10gram_char_frac
+FROM d LEFT JOIN fr ON d.doc_id = fr.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def q_scrub_email(spark, sf_dir):
     """Email-PII scrub with a DuckDB-replayable (RE2-safe) pattern; the
     full lookaround chain is byte-identity-tested against the Python
@@ -3740,6 +3840,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix),
     "robots_meta": (q_robots_meta, _sql_robots_meta),
     "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_QUALITY_BUCKETS),
+    "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:
@@ -3886,7 +3987,8 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "decontaminate_remove", "compression_ratio", "extract_text",
         "extract_text_lines", "stratified_sample", "hash_split",
         "nfc_normalize", "span_dedup", "span_dedup_cdc", "line_dedup",
-        "c4_line_filter", "url_canonicalize", "domain_temperature_sample",
+        "c4_line_filter", "c4_sentence_dedup", "ccnet_quality_buckets",
+        "gopher_repetition", "url_canonicalize", "domain_temperature_sample",
         "vocab_stats", "domain_cap", "dedup_against_snapshot",
         "boilerplate_lines", "dup_cluster_stats", "mojibake_fix",
         "robots_meta", "pack_token_shards",

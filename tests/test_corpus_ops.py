@@ -798,3 +798,44 @@ def test_score_buckets_terciles_groups_and_nulls(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         score_buckets(df, "score", labels=("only", "two"), cuts=(0.1, 0.5, 0.9))
+
+
+def test_gopher_repetition_matches_textcore_reference(spark):
+    """The nine-rung Gopher repetition ladder (repetition.
+    gopher_repetition) is pinned rung-by-rung to the pandas reference
+    implementations the per-doc scoring path uses (functions/textcore
+    dup_ngram_char_frac / top_ngram_char_frac) — including the
+    pathological all-repeat doc where the Gopher top-gram fraction
+    exceeds 1.0 (overlapping occurrences multiply), empty/NULL docs,
+    and a doc shorter than every rung."""
+    from pcornet_data_curation_spark.functions.textcore import (
+        dup_ngram_char_frac,
+        top_ngram_char_frac,
+    )
+    from pcornet_data_curation_spark.operators.repetition import gopher_repetition
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat on the rug while the cat sat"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "spam spam spam spam spam spam spam spam"),
+        (4, ""),
+        (5, None),
+        (6, "one two three four five one two three four five one two six"),
+        (7, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = gopher_repetition(df).toPandas().set_index("doc_id").sort_index()
+    assert len(out) == len(rows)
+    for d, t in rows:
+        toks = (t or "").lower().split()
+        for n in (2, 3, 4):
+            assert out.loc[d, f"top_{n}gram_char_frac"] == pytest.approx(
+                top_ngram_char_frac(toks, n)
+            ), (d, n)
+        for n in (5, 6, 7, 8, 9, 10):
+            assert out.loc[d, f"dup_{n}gram_char_frac"] == pytest.approx(
+                dup_ngram_char_frac(toks, n)
+            ), (d, n)
+    # the all-repeat doc: overlapping top-gram occurrences multiply
+    assert out.loc[3, "top_2gram_char_frac"] > 1.0
+    assert out.loc[3, "dup_5gram_char_frac"] == 1.0
