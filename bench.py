@@ -260,6 +260,14 @@ def main() -> int:
                 _sink(qs[name](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # isolate entries from each other: with 40+ queries in one
+            # JVM, leaked cache blocks + garbage from earlier entries'
+            # collect_list/broadcast state inflate later entries ~2x
+            # (measured: topgram 5.9 s in-suite vs 3.1 s isolated on
+            # the same quiet window). Clear + GC returns each entry to
+            # near-isolated conditions without per-entry sessions.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     pages_path = prepare_pages(spark, args.docs)
     cur_s, n_docs = run_curation(spark, pages_path)

@@ -97,9 +97,10 @@ def c4_line_filter(
 # sentence-boundary markers: terminal punctuation followed by a space
 # opens a new sentence. Applied AFTER whitespace collapse (runs are
 # single spaces), each replacement keeps the punctuation and swaps the
-# space for an ASCII record separator (chr 30 — cannot occur in text
-# that survived the WS collapse, which eats control whitespace only;
-# other control bytes are mojibake the corpus stages upstream repair).
+# space for an ASCII record separator (chr 30). Any PRE-EXISTING
+# chr-30 byte in the input (stray control-char mojibake) is stripped
+# to a space BEFORE normalization — otherwise it would act as a bogus
+# sentence boundary and mutate even duplicate-free documents.
 # No capture groups — Java writes `$1`, RE2/DuckDB `\1`, so a
 # capture-free chain is the only form both engines run verbatim.
 _SEP = "\x1e"
@@ -113,9 +114,11 @@ SENT_STEPS: tuple[tuple[str, str], ...] = (
 def sentences_col(text_col: Column) -> Column:
     """Array of sentences of a text column (deterministic split at
     terminal-punctuation+space boundaries; punctuation retained, so
-    joining the array back with ' ' reproduces the normalized text
-    byte-for-byte). NULL/empty → empty array."""
-    norm = F.trim(F.regexp_replace(F.coalesce(text_col, F.lit("")), WS, " "))
+    joining the array back with ' ' reproduces the normalized text —
+    normalization = WS collapse + chr-30 strip — byte-for-byte).
+    NULL/empty → empty array."""
+    cleaned = F.regexp_replace(F.coalesce(text_col, F.lit("")), _SEP, " ")
+    norm = F.trim(F.regexp_replace(cleaned, WS, " "))
     marked = norm
     for pat, rep in SENT_STEPS:
         marked = F.regexp_replace(marked, pat, rep)
@@ -163,6 +166,8 @@ def c4_sentence_dedup(
     (data_curation_base.sas dedup passes); the remove-and-reassemble
     machinery mirrors decontam.decontaminate_remove.
     """
+    if window < 1:
+        raise ValueError("window must be >= 1 sentence")
     w = window
     base = df.select(
         F.col(id_col).alias("_id"), sentences_col(F.col(text_col)).alias("_sents")

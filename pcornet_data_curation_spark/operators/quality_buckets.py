@@ -71,16 +71,21 @@ def score_buckets(
         if exact
         else (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(accuracy)))
     )
-    th = df.groupBy(*gcols).agg(
-        *[pfn(s, p).alias(f"_q{i}") for i, p in enumerate(cuts)]
-    )
+    # the threshold frame is DERIVED FROM df, so join its group column
+    # under a fresh name — joining df[g] against th[g] is a trivially-
+    # true self-join predicate that only works through Spark's
+    # dataset-id ambiguity repair (warns, and breaks when the lineage
+    # tag is lost)
+    th = df.groupBy(
+        *[F.col(gc).alias("_qb_grp") for gc in gcols]
+    ).agg(*[pfn(s, p).alias(f"_q{i}") for i, p in enumerate(cuts)])
     if group_col is None:
         joined = df.crossJoin(F.broadcast(th))
     else:
         joined = df.join(
             F.broadcast(th),
-            on=[df[group_col].eqNullSafe(th[group_col])],
-        ).drop(th[group_col])
+            on=F.col(group_col).eqNullSafe(F.col("_qb_grp")),
+        ).drop("_qb_grp")
     bucket = F.when(s.isNull(), F.lit(None).cast("string"))
     for i in range(len(cuts)):
         bucket = bucket.when(s <= F.col(f"_q{i}"), F.lit(labels[i]))

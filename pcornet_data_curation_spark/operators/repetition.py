@@ -14,11 +14,14 @@ threshold calibration over an existing table (the reference analog:
 the %cont percentile profile the thresholds would be read from,
 edc_report.sas continuous profiling).
 
-Semantics match textcore exactly: tokens are the lowercased
-whitespace-split words; `top_frac(n) = count(top gram) * chars(top
-gram) / total_token_chars` (0.0 unless the top gram repeats; ties
-break to the LARGEST gram string — textcore's max-by-(count, gram)
-with space-joined strings, identical because tokens cannot contain a
+Semantics match textcore exactly: tokens are the CASE-PRESERVING
+whitespace-split words (textcore's tokenize() does not lowercase, so
+thresholds calibrated from this operator see the same values the rule
+engine sees; pass lowercase=True for the dedup family's case-blind
+convention); `top_frac(n) = count(top gram) * chars(top gram) /
+total_token_chars` (0.0 unless the top gram repeats; ties break to
+the LARGEST gram string — textcore's max-by-(count, gram) with
+space-joined strings, identical because tokens cannot contain a
 space); `dup_frac(n)` counts each token position once (union of
 covered positions) for grams occurring more than once. Docs shorter
 than n tokens score 0.0 on rung n; spaces are not counted as
@@ -60,14 +63,18 @@ def gopher_repetition(
     id_col: str = "doc_id",
     top_ns: Sequence[int] = TOP_NS,
     dup_ns: Sequence[int] = DUP_NS,
+    lowercase: bool = False,
 ) -> DataFrame:
     """(id, top_{n}gram_char_frac... , dup_{n}gram_char_frac...): the
     Gopher repetition ladder, one row per input document."""
     all_ns = sorted(set(top_ns) | set(dup_ns))
+    if not all_ns or min(all_ns) < 2:
+        raise ValueError("repetition rungs must be n >= 2")
 
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS, " ")
-    )
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        c = F.lower(c)
+    norm = F.trim(F.regexp_replace(c, WS, " "))
     toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )

@@ -2188,7 +2188,9 @@ WITH d AS (
 ),
 m AS (
   SELECT doc_id,
-         norm || '. ' || {boiler} || ' Visit ' || src || ' now. ' || {boiler} AS text
+         trim(regexp_replace(regexp_replace(
+           norm || '. ' || {boiler} || ' Visit ' || src || ' now. ' || {boiler},
+           chr(30), ' ', 'g'), '{WS_SQL}', ' ', 'g')) AS text
   FROM d
 ),
 sp AS (SELECT doc_id, string_split({split_expr}, chr(30)) AS sents FROM m),
@@ -3100,10 +3102,11 @@ def q_gopher_repetition(spark, sf_dir):
     own text, so every rung takes non-trivial values that vary by doc
     — a single repeat leaves dup-5/6 at their natural-text level while
     two+ repeats light them up, and the top-gram rungs move with both
-    the injected phrase and the doc's own prose. The oracle replays
-    the identical tokenize → gram-explode → count → coverage algebra
-    (gram strings as keys in BOTH engines here, so even the hash trade
-    is absent)."""
+    the injected phrase and the doc's own prose. Case-preserving
+    (textcore parity — the rule engine's thresholds see these exact
+    values). The oracle replays the identical tokenize → gram-explode
+    → count → coverage algebra (gram strings as keys in BOTH engines
+    here, so even the hash trade is absent)."""
     from pcornet_data_curation_spark.operators.repetition import gopher_repetition
 
     docs = _t(spark, sf_dir, "documents")
@@ -3125,7 +3128,7 @@ WITH raw AS (
 ),
 d AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(coalesce(text, '')), '{WS_SQL}', ' ', 'g')) AS norm
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm
   FROM raw
 ),
 b AS (

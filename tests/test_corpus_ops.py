@@ -822,12 +822,14 @@ def test_gopher_repetition_matches_textcore_reference(spark):
         (5, None),
         (6, "one two three four five one two three four five one two six"),
         (7, "single"),
+        # mixed case: 'The cat' != 'the cat' (textcore is case-aware)
+        (8, "The cat the Cat the cat sat on The Cat the cat mat here"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     out = gopher_repetition(df).toPandas().set_index("doc_id").sort_index()
     assert len(out) == len(rows)
     for d, t in rows:
-        toks = (t or "").lower().split()
+        toks = (t or "").split()  # textcore parity: case-preserving
         for n in (2, 3, 4):
             assert out.loc[d, f"top_{n}gram_char_frac"] == pytest.approx(
                 top_ngram_char_frac(toks, n)
@@ -839,3 +841,22 @@ def test_gopher_repetition_matches_textcore_reference(spark):
     # the all-repeat doc: overlapping top-gram occurrences multiply
     assert out.loc[3, "top_2gram_char_frac"] > 1.0
     assert out.loc[3, "dup_5gram_char_frac"] == 1.0
+
+
+def test_c4_sentence_dedup_sentinel_and_window_guard(spark):
+    """A pre-existing chr(30) byte in input text is stripped to a
+    space before sentence splitting (it would otherwise act as a bogus
+    boundary and mutate duplicate-free docs); window < 1 raises."""
+    from pcornet_data_curation_spark.operators.c4 import c4_sentence_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha\x1ebeta stays one sentence. second sentence here! third one too?")],
+        "doc_id long, text string",
+    )
+    out = c4_sentence_dedup(df).toPandas().iloc[0]
+    assert out["sentences_n"] == 3  # \x1e did NOT open a boundary
+    assert out["text_deduped"] == (
+        "alpha beta stays one sentence. second sentence here! third one too?"
+    )
+    with pytest.raises(ValueError):
+        c4_sentence_dedup(df, window=0)

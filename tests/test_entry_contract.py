@@ -81,3 +81,35 @@ def test_window_rotation_ledger_and_pins():
         )
     # ledger hygiene: no stale names
     assert set(Q.LAST_DRIVER_GREEN) <= set(names)
+
+
+def test_quality_sql_oracles_cannot_drift():
+    """SQL_CCNET_QUALITY_BUCKETS re-derives the quality score that
+    SQL_QUALITY_SCORE also computes (the pinned string cannot be
+    refactored without breaking past-window pins) — assert the two
+    DuckDB derivations produce identical quality values on adversarial
+    fixture docs, so editing one formula without the other fails here
+    instead of silently drifting."""
+    import duckdb
+
+    from pcornet_data_curation_spark import queries as Q
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'The quick brown fox. And the lazy dog of it all!', 'a'), "
+        "(2, 'no stopwords here', 'b'), (3, '', 'a'), (4, NULL, NULL), "
+        "(5, 'Many! Punct? Marks. And the of and the of words the.', 'b')"
+        ") t(doc_id, text, source)"
+    )
+    qs = dict(
+        con.sql(
+            f"SELECT doc_id, quality FROM ({Q.SQL_QUALITY_SCORE})"
+        ).fetchall()
+    )
+    cb = dict(
+        con.sql(
+            f"SELECT doc_id, quality FROM ({Q.SQL_CCNET_QUALITY_BUCKETS})"
+        ).fetchall()
+    )
+    assert qs == cb
