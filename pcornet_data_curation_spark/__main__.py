@@ -147,6 +147,19 @@ def main(argv: list[str] | None = None) -> int:
         help="neardedup: estimated-jaccard threshold",
     )
     c.add_argument(
+        "--against", default=None,
+        help="neardedup: MinHash signature-store path (incremental "
+        "crawl mode — flag new docs against every prior batch's "
+        "survivors AND within this batch, then append this batch's "
+        "survivor signatures to the store; output keeps all rows with "
+        "a near_dup flag instead of dropping)",
+    )
+    c.add_argument(
+        "--store-batch-id", type=int, default=0,
+        help="neardedup --against: batch partition id to write; rerun "
+        "with the same id to replay idempotently",
+    )
+    c.add_argument(
         "--bench", default=None,
         help="decontaminate: benchmark/eval table (parquet dir / table: ref)",
     )
@@ -265,14 +278,27 @@ def main(argv: list[str] | None = None) -> int:
 
             out = exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
         elif args.op == "neardedup":
-            from pcornet_data_curation_spark.operators.dedup import (
-                near_dedup_survivors,
-            )
+            if args.against:
+                # incremental-crawl mode: the stream micro-batch core is
+                # batch-generic (batch in, store probe, store append)
+                from pcornet_data_curation_spark.streaming.neardup_stream import (
+                    stream_neardup_flag_batch,
+                )
 
-            out = near_dedup_survivors(
-                df, text_col=args.text_col, id_col=args.id_col,
-                threshold=args.near_threshold,
-            )
+                out = stream_neardup_flag_batch(
+                    df, args.store_batch_id, args.against,
+                    text_col=args.text_col, id_col=args.id_col,
+                    threshold=args.near_threshold,
+                )
+            else:
+                from pcornet_data_curation_spark.operators.dedup import (
+                    near_dedup_survivors,
+                )
+
+                out = near_dedup_survivors(
+                    df, text_col=args.text_col, id_col=args.id_col,
+                    threshold=args.near_threshold,
+                )
         elif args.op == "decontaminate":
             if not args.bench:
                 raise SystemExit("--op decontaminate requires --bench")
@@ -315,6 +341,11 @@ def main(argv: list[str] | None = None) -> int:
                 order_col=args.id_col,
             )
         out.write.mode("overwrite").parquet(args.output)
+        # release operator-attached caches (neardedup --against persists
+        # its signature frame for the store append; no-op otherwise)
+        from pcornet_data_curation_spark.operators.dedup import unpersist_deps
+
+        unpersist_deps(out)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"op": args.op, "written": args.output, "rows": n}))
         return 0

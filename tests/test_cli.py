@@ -316,3 +316,44 @@ def test_cli_corpus_tier_op(spark, tmp_path, capsys):
     assert td.loc["u5", "bucket"] == "middle"
     # de tiers among itself despite globally-larger scores
     assert td.loc["v3", "bucket"] == "head"
+
+
+def test_cli_corpus_neardedup_against_store(spark, tmp_path, capsys):
+    """corpus --op neardedup --against <store>: incremental-crawl
+    near-dedup — batch 1 seeds the signature store, batch 2's
+    near-copy of a batch-1 doc is flagged via the store, and its
+    fresh doc is not; rows are kept (flag-only)."""
+    import json as _json
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet green hills of the old country")
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [("u1", base), ("u2", "entirely different first-batch content here today")],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(b1)
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [("u3", base + " extra tail"),   # near-copy of u1
+         ("u4", "completely novel second batch document with new words")],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(b2)
+
+    store = str(tmp_path / "sigstore")
+    o1 = str(tmp_path / "o1")
+    assert main(["corpus", "--op", "neardedup", "--against", store,
+                 "--store-batch-id", "0", "--input", b1, "--output", o1,
+                 "--text-col", "text", "--cores", "8"]) == 0
+    capsys.readouterr()
+    f1 = spark.read.parquet(o1).toPandas().set_index("url")
+    assert not f1["near_dup"].any()  # first batch: nothing prior
+
+    o2 = str(tmp_path / "o2")
+    assert main(["corpus", "--op", "neardedup", "--against", store,
+                 "--store-batch-id", "1", "--input", b2, "--output", o2,
+                 "--text-col", "text", "--cores", "8"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f2 = spark.read.parquet(o2).toPandas().set_index("url")
+    assert res["rows"] == 2                      # flag-only: rows kept
+    assert bool(f2.loc["u3", "near_dup"])        # store hit
+    assert not bool(f2.loc["u4", "near_dup"])    # novel doc clean
