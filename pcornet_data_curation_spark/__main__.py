@@ -132,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
         "--op", required=True,
         choices=[
             "sample", "split", "pack", "dedup", "neardedup",
-            "decontaminate", "sentdedup", "tier",
+            "decontaminate", "sentdedup", "tier", "repstats",
         ],
     )
     c.add_argument("--id-col", default="url")
@@ -333,6 +333,17 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.tier_score_col,
                 group_col=args.tier_group_col or None,
                 exact=args.tier_exact,
+            )
+        elif args.op == "repstats":
+            # Gopher repetition-threshold calibration table: the nine
+            # ladder fractions per doc, to be profiled (percentiles per
+            # lang/domain) before choosing rule thresholds
+            from pcornet_data_curation_spark.operators.repetition import (
+                gopher_repetition,
+            )
+
+            out = gopher_repetition(
+                df, text_col=args.text_col, id_col=args.id_col
             )
         else:
             out = pack_token_shards(

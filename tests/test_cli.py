@@ -357,3 +357,27 @@ def test_cli_corpus_neardedup_against_store(spark, tmp_path, capsys):
     assert res["rows"] == 2                      # flag-only: rows kept
     assert bool(f2.loc["u3", "near_dup"])        # store hit
     assert not bool(f2.loc["u4", "near_dup"])    # novel doc clean
+
+
+def test_cli_corpus_repstats_op(spark, tmp_path, capsys):
+    """corpus --op repstats: the nine Gopher ladder fractions over a
+    real table from the CLI (calibration input for rule thresholds)."""
+    import json as _json
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "all fresh words in this one here")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "rep")
+    assert main(["corpus", "--op", "repstats", "--input", src, "--output", out,
+                 "--id-col", "doc_id", "--text-col", "text", "--cores", "8"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rp = spark.read.parquet(out).toPandas().set_index("doc_id")
+    assert res["rows"] == 2
+    assert rp.loc[1, "dup_5gram_char_frac"] == 1.0
+    assert rp.loc[2, "top_2gram_char_frac"] == 0.0
+    assert {c for c in rp.columns if "gram" in c} == {
+        f"top_{n}gram_char_frac" for n in (2, 3, 4)
+    } | {f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)}
