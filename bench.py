@@ -64,6 +64,7 @@ HEADLINE = [
     "robots_meta",
     "ccnet_quality_buckets",
     "gopher_repetition",
+    "scrub_hit_stats",
     "dup_cluster_stats",
     "decontaminate_remove",
     "verdict_documents",

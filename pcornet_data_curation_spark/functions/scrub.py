@@ -134,6 +134,37 @@ def scrub_column(col, patterns: tuple[ScrubPattern, ...] = SCRUB_PATTERNS):
     return out
 
 
+def scrub_hit_count_cols(col, patterns: tuple[ScrubPattern, ...] = CORE_SCRUB_PATTERNS):
+    """Ordered (rule_id, hits Column) pairs — how many matches each
+    scrub rule makes, counted CHAIN-AWARE: rule i counts against the
+    text as rules 1..i-1 have already transformed it (exactly the
+    matches scrub_column replaces — an email scrubbed to <EMAIL> can
+    no longer feed a phone/IP count). JVM regexp_count, codegen. The
+    default is the lookaround-free core chain so a DuckDB oracle can
+    replay the counts (len(regexp_extract_all)); pass SCRUB_PATTERNS
+    for production-chain audit counts (pytest-verified dialect)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    cur = col
+    for p in ordered_patterns(patterns):
+        out.append((p.rule_id, F.regexp_count(cur, F.lit(p.pattern))))
+        cur = F.regexp_replace(cur, p.pattern, p.replacement)
+    return out
+
+
+def scrub_hit_count_core_sqls(col_sql: str) -> list[tuple[str, str]]:
+    """DuckDB twin of scrub_hit_count_cols(col): ordered (rule_id,
+    hits-expression) pairs generated from the same CORE_SCRUB_PATTERNS
+    constants, counting each rule against the chain-transformed text."""
+    out = []
+    cur = col_sql
+    for p in ordered_patterns(CORE_SCRUB_PATTERNS):
+        out.append((p.rule_id, f"len(regexp_extract_all({cur}, '{p.pattern}'))"))
+        cur = f"regexp_replace({cur}, '{p.pattern}', '{p.replacement}', 'g')"
+    return out
+
+
 def scrub_core_sql(col_sql: str) -> str:
     """ANSI/DuckDB twin of scrub_column(col, CORE_SCRUB_PATTERNS):
     the same nested ordered regexp_replace chain with the 'g' flag

@@ -3094,6 +3094,110 @@ FROM d JOIN th USING (source)
 """
 
 
+def q_scrub_hit_stats(spark, sf_dir):
+    """Per-rule scrub audit (functions/scrub.scrub_hit_count_cols):
+    how many matches each PII/toxicity rule makes corpus-wide and how
+    many documents each touches — the operational 'what did we scrub'
+    report a privacy review reads. Counts are CHAIN-AWARE (rule i
+    counts on the text rules 1..i-1 already transformed — exactly the
+    replacements scrub_column makes). The fixture appends rotating PII
+    by doc_id (email+phone / ip+card+ssn / toxicity words) so every
+    rule has non-trivial, position-dependent totals; the oracle
+    replays the identical count-then-replace chain generated from the
+    same CORE_SCRUB_PATTERNS constants."""
+    from pcornet_data_curation_spark.functions.scrub import scrub_hit_count_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    extra = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                d.cast("string"),
+                F.lit("@example.org or (555) 123-4567 now"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit(" from 10.20.30."),
+                (d % 250).cast("string"),
+                F.lit(" card 4111 1111 1111 1111 ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.lit(" frak that belgium gorram smeg"))
+    )
+    mtext = F.concat(F.coalesce(F.col("text"), F.lit("")), extra)
+    pairs = scrub_hit_count_cols(mtext)
+    per = docs.select(*[h.alias(rid) for rid, h in pairs])
+    agg = per.agg(
+        *[F.sum(F.col(rid)).cast("long").alias(f"s_{rid}") for rid, _ in pairs],
+        *[
+            F.sum((F.col(rid) > 0).cast("long")).alias(f"d_{rid}")
+            for rid, _ in pairs
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(rid).alias("rule_id"),
+                F.col(f"s_{rid}").alias("total_hits"),
+                F.col(f"d_{rid}").alias("docs_with_hit"),
+            )
+            for rid, _ in pairs
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _sql_scrub_hit_stats() -> str:
+    """Oracle generated from CORE_SCRUB_PATTERNS via
+    scrub_hit_count_core_sqls so the two chains cannot drift."""
+    from pcornet_data_curation_spark.functions.scrub import (
+        scrub_hit_count_core_sqls,
+    )
+
+    pairs = scrub_hit_count_core_sqls("text")
+    per_cols = ",\n         ".join(f"{expr} AS {rid}" for rid, expr in pairs)
+    agg_cols = ",\n         ".join(
+        f"CAST(SUM({rid}) AS BIGINT) AS s_{rid},\n         "
+        f"CAST(SUM(CASE WHEN {rid} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_{rid}"
+        for rid, _ in pairs
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{rid}' AS rule_id, s_{rid} AS total_hits, "
+        f"d_{rid} AS docs_with_hit FROM agg"
+        for rid, _ in pairs
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN ' reach user' || CAST(doc_id AS VARCHAR) ||
+                    '@example.org or (555) 123-4567 now'
+               WHEN doc_id % 3 = 1
+               THEN ' from 10.20.30.' || CAST(doc_id % 250 AS VARCHAR) ||
+                    ' card 4111 1111 1111 1111 ssn 123-45-6789'
+               ELSE ' frak that belgium gorram smeg' END) AS text
+  FROM documents
+),
+per AS (
+  SELECT {per_cols}
+  FROM m
+),
+agg AS (
+  SELECT {agg_cols}
+  FROM per
+)
+{unions}
+"""
+
+
+SQL_SCRUB_HIT_STATS = _sql_scrub_hit_stats()
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher's nine-rung repetition ladder (operators/repetition.
     gopher_repetition): top-2/3/4-gram and dup-5..10-gram character
@@ -3844,6 +3948,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "robots_meta": (q_robots_meta, _sql_robots_meta),
     "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_QUALITY_BUCKETS),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+    "scrub_hit_stats": (q_scrub_hit_stats, SQL_SCRUB_HIT_STATS),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:
@@ -3995,7 +4100,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "vocab_stats", "domain_cap", "dedup_against_snapshot",
         "boilerplate_lines", "dup_cluster_stats", "mojibake_fix",
         "robots_meta", "pack_token_shards",
-        "scrub_email", "scrub_chain_core", "scrub_full",
+        "scrub_email", "scrub_chain_core", "scrub_full", "scrub_hit_stats",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
         "embedding_dup_pairs_multiseed", "url_filter", "lsh_topk", "ivf_topk",

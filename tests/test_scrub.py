@@ -93,3 +93,23 @@ def test_core_chain_jvm_python_re2_identity(spark):
         .df()["s"].tolist()
     )
     assert got == want_duck
+
+
+def test_scrub_hit_counts_chain_aware(spark):
+    """scrub_hit_count_cols counts exactly the matches scrub_column
+    replaces: a phone-shaped string consumed by the earlier email rule
+    must NOT also count as a phone; later rules see transformed text."""
+    from pyspark.sql import functions as F
+
+    from pcornet_data_curation_spark.functions.scrub import scrub_hit_count_cols
+
+    df = spark.createDataFrame(
+        [(1, "mail 555-123-4567@example.com then call 555-123-4567 from 1.2.3.4")],
+        "doc_id long, text string",
+    )
+    pairs = scrub_hit_count_cols(F.col("text"))
+    out = df.select(*[h.alias(r) for r, h in pairs]).toPandas().iloc[0]
+    assert out["core_email"] == 1
+    assert out["core_phone"] == 1  # the one inside the email was consumed
+    assert out["core_ipv4"] == 1
+    assert out["core_ssn"] == 0 and out["core_tox"] == 0 and out["core_card"] == 0
