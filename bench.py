@@ -65,6 +65,7 @@ HEADLINE = [
     "ccnet_quality_buckets",
     "gopher_repetition",
     "scrub_hit_stats",
+    "language_mix",
     "dup_cluster_stats",
     "decontaminate_remove",
     "verdict_documents",

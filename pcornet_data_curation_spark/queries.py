@@ -3094,6 +3094,124 @@ FROM d JOIN th USING (source)
 """
 
 
+_LM_LINES = (
+    "der hund und die katze der stadt und mehr",
+    "le chat et les chiens les plus beaux et fiers",
+    "el gato y los perros que viven en el pueblo",
+    "the quick dog and the cat of the house and more",
+)
+
+
+def q_language_mix(spark, sf_dir):
+    """Per-line language-mix detection (operators/langmix.language_mix)
+    — CCNet's paragraph-level langid pass: one marker vote for the
+    document, one per non-empty line, mix_frac = scored lines
+    disagreeing with the doc vote. The fixture appends one foreign (or
+    English) line rotating by doc_id to each doc's own prose, so
+    doc votes, line votes, and the mismatch fraction all vary by doc;
+    the oracle replays the identical padded-split marker arithmetic
+    and first-wins argmax at both granularities."""
+    from pcornet_data_curation_spark.operators.langmix import language_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), WS, " "))
+    extra = (
+        F.when(d % 4 == 0, F.lit(_LM_LINES[0]))
+        .when(d % 4 == 1, F.lit(_LM_LINES[1]))
+        .when(d % 4 == 2, F.lit(_LM_LINES[2]))
+        .otherwise(F.lit(_LM_LINES[3]))
+    )
+    # empty-norm docs get just the injected line (no leading '\n'),
+    # mirroring the oracle's CASE byte-for-byte
+    mtext = F.concat(
+        F.when(F.length(norm) == 0, F.lit("")).otherwise(
+            F.concat(norm, F.lit("\n"))
+        ),
+        extra,
+    )
+    return language_mix(docs.select("doc_id", mtext.alias("text")))
+
+
+def _sql_language_mix() -> str:
+    """Oracle generated from textanalysis._MARKERS (via the module's
+    own table) so the marker sets and argmax order cannot drift."""
+    from pcornet_data_curation_spark.operators.langmix import LINE_WS
+
+    langs = list(_TA_MARKERS)
+
+    def _mh(col: str, words: list[str]) -> str:
+        terms = " + ".join(
+            f"len(string_split(' ' || regexp_replace(lower({col}), '{WS_SQL}', ' ', 'g')"
+            f" || ' ', ' {w} ')) - 1"
+            for w in words
+        )
+        return f"({terms})"
+
+    def _vote(col: str) -> str:
+        hs = {lang: _mh(col, ws) for lang, ws in _TA_MARKERS.items()}
+        best = f"GREATEST({', '.join(hs[lang] for lang in langs)})"
+        whens = "\n            ".join(
+            f"WHEN {hs[lang]} = {best} THEN '{lang}'" for lang in langs
+        )
+        return (
+            f"(CASE WHEN {best} <= 0 THEN 'und'\n            {whens}\n"
+            f"            ELSE '{langs[-1]}' END)"
+        )
+
+    cases = (
+        f"CASE WHEN doc_id % 4 = 0 THEN '{_LM_LINES[0]}' "
+        f"WHEN doc_id % 4 = 1 THEN '{_LM_LINES[1]}' "
+        f"WHEN doc_id % 4 = 2 THEN '{_LM_LINES[2]}' "
+        f"ELSE '{_LM_LINES[3]}' END"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '{WS_SQL}', ' ', 'g')) AS norm
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         (CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END) || ({cases}) AS text
+  FROM d
+),
+doc AS (SELECT doc_id, text, {_vote('text')} AS doc_lang FROM m),
+ln AS (
+  SELECT doc_id, doc_lang,
+         [x FOR x IN list_transform(string_split(text, chr(10)),
+                                    l -> trim(regexp_replace(l, '{LINE_WS}', ' ', 'g')))
+          IF x <> ''] AS lines
+  FROM doc
+),
+lx AS (
+  SELECT doc_id, doc_lang, UNNEST(lines) AS line FROM ln
+),
+lv AS (
+  SELECT doc_id, doc_lang, {_vote('line')} AS ll FROM lx
+),
+agg AS (
+  SELECT doc_id, doc_lang,
+         CAST(COUNT(*) AS INT) AS lines_n,
+         CAST(SUM(CASE WHEN ll <> 'und' THEN 1 ELSE 0 END) AS INT) AS lines_scored_n,
+         CAST(SUM(CASE WHEN ll <> 'und' AND ll <> doc_lang THEN 1 ELSE 0 END) AS INT)
+           AS lines_mismatch_n
+  FROM lv GROUP BY doc_id, doc_lang
+)
+SELECT ln.doc_id, ln.doc_lang,
+       COALESCE(agg.lines_n, 0) AS lines_n,
+       COALESCE(agg.lines_scored_n, 0) AS lines_scored_n,
+       COALESCE(agg.lines_mismatch_n, 0) AS lines_mismatch_n,
+       CASE WHEN COALESCE(agg.lines_scored_n, 0) > 0
+            THEN CAST(agg.lines_mismatch_n AS DOUBLE) / agg.lines_scored_n
+            ELSE 0.0 END AS mix_frac
+FROM ln LEFT JOIN agg ON ln.doc_id = agg.doc_id
+"""
+
+
+SQL_LANGUAGE_MIX = _sql_language_mix()
+
+
 def q_scrub_hit_stats(spark, sf_dir):
     """Per-rule scrub audit (functions/scrub.scrub_hit_count_cols):
     how many matches each PII/toxicity rule makes corpus-wide and how
@@ -3949,6 +4067,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ccnet_quality_buckets": (q_ccnet_quality_buckets, SQL_CCNET_QUALITY_BUCKETS),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "scrub_hit_stats": (q_scrub_hit_stats, SQL_SCRUB_HIT_STATS),
+    "language_mix": (q_language_mix, SQL_LANGUAGE_MIX),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:
@@ -4101,6 +4220,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "boilerplate_lines", "dup_cluster_stats", "mojibake_fix",
         "robots_meta", "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full", "scrub_hit_stats",
+        "language_mix",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
         "embedding_dup_pairs_multiseed", "url_filter", "lsh_topk", "ivf_topk",

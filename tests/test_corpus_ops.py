@@ -860,3 +860,34 @@ def test_c4_sentence_dedup_sentinel_and_window_guard(spark):
     )
     with pytest.raises(ValueError):
         c4_sentence_dedup(df, window=0)
+
+
+def test_language_mix_line_votes_vs_doc_vote(spark):
+    """CCNet paragraph-langid signal (langmix.language_mix): a German
+    line inside an English doc counts as a mismatch; unscorable
+    ('und') lines are excluded from the fraction; all-foreign docs vote
+    their own language with zero mismatch; NULL/empty docs are 'und'
+    with zero lines."""
+    from pcornet_data_curation_spark.operators.langmix import language_mix
+
+    rows = [
+        (1, "the cat and the dog of the house\n"
+            "der hund und die katze der stadt\n"
+            "the end of the story and more"),
+        (2, "der hund und die katze\nder mann und die frau der stadt"),
+        (3, "zz qq xx\n12345"),   # lines exist but none scorable
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = language_mix(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "doc_lang"] == "en"
+    assert out.loc[1, "lines_n"] == 3 and out.loc[1, "lines_scored_n"] == 3
+    assert out.loc[1, "lines_mismatch_n"] == 1
+    assert out.loc[1, "mix_frac"] == pytest.approx(1 / 3)
+    assert out.loc[2, "doc_lang"] == "de" and out.loc[2, "lines_mismatch_n"] == 0
+    assert out.loc[3, "doc_lang"] == "und"
+    assert out.loc[3, "lines_n"] == 2 and out.loc[3, "lines_scored_n"] == 0
+    assert out.loc[3, "mix_frac"] == 0.0
+    for d in (4, 5):
+        assert out.loc[d, "doc_lang"] == "und" and out.loc[d, "lines_n"] == 0
