@@ -155,9 +155,12 @@ def main(argv: list[str] | None = None) -> int:
         "a near_dup flag instead of dropping)",
     )
     c.add_argument(
-        "--store-batch-id", type=int, default=0,
-        help="neardedup --against: batch partition id to write; rerun "
-        "with the same id to replay idempotently",
+        "--store-batch-id", type=int, default=None,
+        help="neardedup --against: batch partition id to write. Omit "
+        "to auto-derive max(stored batch)+1 (0 for a new store) — a "
+        "fixed default would silently OVERWRITE an existing batch "
+        "partition and skip its signatures in the probe. Pass an "
+        "explicit id only to replay that batch idempotently.",
     )
     c.add_argument(
         "--bench", default=None,
@@ -281,12 +284,28 @@ def main(argv: list[str] | None = None) -> int:
             if args.against:
                 # incremental-crawl mode: the stream micro-batch core is
                 # batch-generic (batch in, store probe, store append)
+                import os as _os
+
                 from pcornet_data_curation_spark.streaming.neardup_stream import (
+                    SIGS_SUBDIR,
+                    _store_exists,
                     stream_neardup_flag_batch,
                 )
 
+                bid = args.store_batch_id
+                if bid is None:
+                    # next free partition: a fixed default here would
+                    # clobber batch 0 and skip the store probe entirely
+                    from pyspark.sql import functions as F
+
+                    sigs = _os.path.join(args.against, SIGS_SUBDIR)
+                    bid = (
+                        spark.read.parquet(sigs).agg(F.max("batch")).first()[0] + 1
+                        if _store_exists(spark, sigs)
+                        else 0
+                    )
                 out = stream_neardup_flag_batch(
-                    df, args.store_batch_id, args.against,
+                    df, bid, args.against,
                     text_col=args.text_col, id_col=args.id_col,
                     threshold=args.near_threshold,
                 )

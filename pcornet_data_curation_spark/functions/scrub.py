@@ -134,15 +134,18 @@ def scrub_column(col, patterns: tuple[ScrubPattern, ...] = SCRUB_PATTERNS):
     return out
 
 
-def scrub_hit_count_cols(col, patterns: tuple[ScrubPattern, ...] = CORE_SCRUB_PATTERNS):
+def scrub_hit_count_cols(col, patterns: tuple[ScrubPattern, ...] = SCRUB_PATTERNS):
     """Ordered (rule_id, hits Column) pairs — how many matches each
     scrub rule makes, counted CHAIN-AWARE: rule i counts against the
     text as rules 1..i-1 have already transformed it (exactly the
     matches scrub_column replaces — an email scrubbed to <EMAIL> can
     no longer feed a phone/IP count). JVM regexp_count, codegen. The
-    default is the lookaround-free core chain so a DuckDB oracle can
-    replay the counts (len(regexp_extract_all)); pass SCRUB_PATTERNS
-    for production-chain audit counts (pytest-verified dialect)."""
+    default is SCRUB_PATTERNS — the SAME chain scrub_column applies by
+    default, so audit counts describe the scrubs that actually
+    happened (Java regex runs the lookaround guards fine; they are
+    only excluded from the DuckDB-oracle path). Pass
+    CORE_SCRUB_PATTERNS for the lookaround-free twin an oracle can
+    replay (len(regexp_extract_all))."""
     from pyspark.sql import functions as F
 
     out = []

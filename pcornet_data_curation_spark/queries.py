@@ -3134,8 +3134,12 @@ def q_language_mix(spark, sf_dir):
 
 
 def _sql_language_mix() -> str:
-    """Oracle generated from textanalysis._MARKERS (via the module's
-    own table) so the marker sets and argmax order cannot drift."""
+    """Oracle generated from the _TA_MARKERS table — a hand copy of
+    textanalysis._MARKERS that SQL_LANGID_HEURISTIC already uses;
+    tests/test_entry_contract.py asserts the copy equals the module
+    constant and that langmix's vote chain equals langid_heuristic's,
+    so neither copy can drift silently (the module itself cannot be
+    edited without breaking past-window registry pins)."""
     from pcornet_data_curation_spark.operators.langmix import LINE_WS
 
     langs = list(_TA_MARKERS)
@@ -3222,8 +3226,13 @@ def q_scrub_hit_stats(spark, sf_dir):
     by doc_id (email+phone / ip+card+ssn / toxicity words) so every
     rule has non-trivial, position-dependent totals; the oracle
     replays the identical count-then-replace chain generated from the
-    same CORE_SCRUB_PATTERNS constants."""
-    from pcornet_data_curation_spark.functions.scrub import scrub_hit_count_cols
+    same CORE_SCRUB_PATTERNS constants (passed explicitly — the
+    operator's default is the production SCRUB_PATTERNS chain, whose
+    lookarounds RE2 cannot run)."""
+    from pcornet_data_curation_spark.functions.scrub import (
+        CORE_SCRUB_PATTERNS,
+        scrub_hit_count_cols,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
@@ -3247,7 +3256,7 @@ def q_scrub_hit_stats(spark, sf_dir):
         .otherwise(F.lit(" frak that belgium gorram smeg"))
     )
     mtext = F.concat(F.coalesce(F.col("text"), F.lit("")), extra)
-    pairs = scrub_hit_count_cols(mtext)
+    pairs = scrub_hit_count_cols(mtext, CORE_SCRUB_PATTERNS)
     per = docs.select(*[h.alias(rid) for rid, h in pairs])
     agg = per.agg(
         *[F.sum(F.col(rid)).cast("long").alias(f"s_{rid}") for rid, _ in pairs],

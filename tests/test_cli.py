@@ -348,9 +348,11 @@ def test_cli_corpus_neardedup_against_store(spark, tmp_path, capsys):
     f1 = spark.read.parquet(o1).toPandas().set_index("url")
     assert not f1["near_dup"].any()  # first batch: nothing prior
 
+    # second batch OMITS --store-batch-id: auto-derive max(batch)+1
+    # (a fixed default would overwrite batch 0 and skip the probe)
     o2 = str(tmp_path / "o2")
     assert main(["corpus", "--op", "neardedup", "--against", store,
-                 "--store-batch-id", "1", "--input", b2, "--output", o2,
+                 "--input", b2, "--output", o2,
                  "--text-col", "text", "--cores", "8"]) == 0
     res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     f2 = spark.read.parquet(o2).toPandas().set_index("url")

@@ -113,3 +113,41 @@ def test_quality_sql_oracles_cannot_drift():
         ).fetchall()
     )
     assert qs == cb
+
+
+def test_langmix_vote_pinned_to_langid_heuristic(spark):
+    """langmix._vote re-implements langid_heuristic's argmax (the
+    module constant cannot gain a shared helper without breaking
+    past-window pins) — pin the two chains to each other, and the
+    queries._TA_MARKERS SQL copy to the module constant, so an edit to
+    either marker set or tie-break order fails loudly here."""
+    from pyspark.sql import functions as F
+
+    from pcornet_data_curation_spark import queries as Q
+    from pcornet_data_curation_spark.operators.langmix import _vote
+    from pcornet_data_curation_spark.operators.textanalysis import (
+        _MARKERS,
+        langid_heuristic,
+    )
+
+    assert Q._TA_MARKERS == _MARKERS
+
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze der stadt"),
+        (3, "le chat et les chiens les plus beaux"),
+        (4, "el gato y los perros que viven"),
+        (5, "the und le el"),          # 4-way tie -> first-wins order
+        (6, "zz qq xx"),               # no markers -> und
+        (7, ""),
+        (8, "the the und und"),        # en/de tie
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (
+        langid_heuristic(df).toPandas().set_index("doc_id")["lang_guess"]
+    )
+    b = (
+        df.select("doc_id", _vote(F.coalesce(F.col("text"), F.lit(""))).alias("v"))
+        .toPandas().set_index("doc_id")["v"]
+    )
+    assert list(a.sort_index()) == list(b.sort_index())

@@ -101,15 +101,35 @@ def test_scrub_hit_counts_chain_aware(spark):
     must NOT also count as a phone; later rules see transformed text."""
     from pyspark.sql import functions as F
 
-    from pcornet_data_curation_spark.functions.scrub import scrub_hit_count_cols
+    from pcornet_data_curation_spark.functions.scrub import (
+        CORE_SCRUB_PATTERNS,
+        scrub_hit_count_cols,
+    )
 
     df = spark.createDataFrame(
         [(1, "mail 555-123-4567@example.com then call 555-123-4567 from 1.2.3.4")],
         "doc_id long, text string",
     )
-    pairs = scrub_hit_count_cols(F.col("text"))
+    pairs = scrub_hit_count_cols(F.col("text"), CORE_SCRUB_PATTERNS)
     out = df.select(*[h.alias(r) for r, h in pairs]).toPandas().iloc[0]
     assert out["core_email"] == 1
     assert out["core_phone"] == 1  # the one inside the email was consumed
     assert out["core_ipv4"] == 1
     assert out["core_ssn"] == 0 and out["core_tox"] == 0 and out["core_card"] == 0
+
+    # the DEFAULT chain is the production one (same default as
+    # scrub_column), so audit counts describe scrubs that actually
+    # happened: a digit-prefixed phone shape is guarded by pii_phone's
+    # lookbehind (not scrubbed, not counted) while the lookaround-free
+    # core twin counts it
+    guarded = spark.createDataFrame(
+        [(1, "id9555-123-4567 is an identifier not a phone")],
+        "doc_id long, text string",
+    )
+    prod = guarded.select(
+        *[h.alias(r) for r, h in scrub_hit_count_cols(F.col("text"))]
+    ).toPandas().iloc[0]
+    core = guarded.select(
+        *[h.alias(r) for r, h in scrub_hit_count_cols(F.col("text"), CORE_SCRUB_PATTERNS)]
+    ).toPandas().iloc[0]
+    assert prod["pii_phone"] == 0 and core["core_phone"] == 1
