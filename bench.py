@@ -66,6 +66,7 @@ HEADLINE = [
     "gopher_repetition",
     "scrub_hit_stats",
     "language_mix",
+    "domain_dist_documents",
     "dup_cluster_stats",
     "decontaminate_remove",
     "verdict_documents",

@@ -3094,6 +3094,83 @@ FROM d JOIN th USING (source)
 """
 
 
+def q_domain_dist_documents(spark, sf_dir):
+    """Long-tail domain distribution report (reports.domain_dist):
+    top-N hosts + OTHER rollup with kept counts and floor-basis-point
+    percentages — previously pytest-only evidence, now value-hash-
+    checked end-to-end. The fixture synthesizes urls with the exact
+    shapes the operator must normalize: one HOT host hiding behind
+    case + port + path variants (60% of the corpus — the skew case),
+    per-source mid-tier hosts, a 37-host tail with userinfo prefixes
+    (count ties broken by host string, so the top-N cut and NULLS
+    LAST ordering both bind), and unparsable urls that land in the
+    NULL-host row (which must be able to HOLD a top slot)."""
+    from pcornet_data_curation_spark.operators.reports import domain_dist
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    src = F.coalesce(F.col("source"), F.lit(""))
+    url = (
+        F.when(d % 10 < 6, F.concat(F.lit("https://HOT.example.com:8080/p/"), d.cast("string")))
+        .when(d % 10 < 8, F.concat(F.lit("https://"), src, F.lit(".example.org/a/"), d.cast("string")))
+        .when(d % 10 == 8, F.concat(F.lit("https://user@site"), (d % 37).cast("string"), F.lit(".example.net/x")))
+        .otherwise(F.lit("not a url"))
+    )
+    keep = (d % 3 != 0).alias("keep")
+    return domain_dist(docs.select(url.alias("url"), keep))
+
+
+SQL_DOMAIN_DIST_DOCUMENTS = f"""
+WITH u AS (
+  SELECT (CASE WHEN doc_id % 10 < 6
+               THEN 'https://HOT.example.com:8080/p/' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 10 < 8
+               THEN 'https://' || coalesce(source, '') || '.example.org/a/' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 10 = 8
+               THEN 'https://user@site' || CAST(doc_id % 37 AS VARCHAR) || '.example.net/x'
+               ELSE 'not a url' END) AS url,
+         (doc_id % 3 <> 0) AS keep
+  FROM documents
+),
+h AS (
+  SELECT CASE WHEN hr = '' THEN NULL ELSE lower(hr) END AS host, keep
+  FROM (SELECT regexp_extract(
+                 regexp_replace(
+                   regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                   '^[^@]*@', ''),
+                 '^([^:\\[][^:]*)', 1) AS hr,
+               keep
+        FROM u)
+),
+c AS (
+  SELECT host, COUNT(*) AS record_n,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_n
+  FROM h GROUP BY host
+),
+top AS (
+  SELECT host, record_n, kept_n
+  FROM c ORDER BY record_n DESC, host ASC NULLS LAST LIMIT 20
+),
+oth AS (
+  SELECT COUNT(*) AS hosts_n,
+         CAST(COALESCE(SUM(record_n), 0) AS BIGINT) AS record_n,
+         CAST(COALESCE(SUM(kept_n), 0) AS BIGINT) AS kept_n
+  FROM c
+  WHERE NOT EXISTS (SELECT 1 FROM top WHERE top.host IS NOT DISTINCT FROM c.host)
+),
+r AS (
+  SELECT host, record_n, kept_n FROM top
+  UNION ALL
+  SELECT 'OTHER' AS host, record_n, kept_n FROM oth WHERE hosts_n > 0
+)
+SELECT host,
+       record_n,
+       kept_n,
+       floor(record_n * 10000.0 / SUM(record_n) OVER ()) / 100.0 AS record_pct
+FROM r
+"""
+
+
 _LM_LINES = (
     "der hund und die katze der stadt und mehr",
     "le chat et les chiens les plus beaux et fiers",
@@ -4044,7 +4121,6 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivf_topk": (q_ivf_topk, _sql_ivf_topk),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
-    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "embedding_dup_pairs_multiseed": (
         q_embedding_dup_pairs_multiseed,
         SQL_EMBEDDING_DUP_PAIRS_MULTISEED,
@@ -4077,6 +4153,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "scrub_hit_stats": (q_scrub_hit_stats, SQL_SCRUB_HIT_STATS),
     "language_mix": (q_language_mix, SQL_LANGUAGE_MIX),
+    "domain_dist_documents": (q_domain_dist_documents, SQL_DOMAIN_DIST_DOCUMENTS),
     # sampling.py gained domain_temperature_sample + domain_cap this
     # round — its whole-module pins broke, so the three sampling
     # entries rotate back into the window:
@@ -4115,6 +4192,9 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # untouched implementing code (enforced by registry_pins.json).
     # Rotated out in r05 (hash-green r04, reports.py and their
     # builders untouched this round):
+    # lsh_topk rotated late-r05 to free a window slot for
+    # domain_dist_documents (similarity.py untouched all round):
+    "lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "tag_profile_orders": (q_tag_profile_orders, SQL_TAG_PROFILE_ORDERS),
     "npct_noref_event_type": (q_npct_noref_event_type, SQL_NPCT_NOREF_EVENT_TYPE),
@@ -4229,7 +4309,7 @@ QUERY_GROUPS: dict[str, tuple[str, ...]] = {
         "boilerplate_lines", "dup_cluster_stats", "mojibake_fix",
         "robots_meta", "pack_token_shards",
         "scrub_email", "scrub_chain_core", "scrub_full", "scrub_hit_stats",
-        "language_mix",
+        "language_mix", "domain_dist_documents",
         "rule_flags_summary", "verdict_documents", "violations_documents",
         "embedding_topk", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
         "embedding_dup_pairs_multiseed", "url_filter", "lsh_topk", "ivf_topk",
