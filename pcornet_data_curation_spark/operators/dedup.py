@@ -553,6 +553,73 @@ def dup_cluster_stats(
 # ---------------------------------------------------------------------------
 
 
+def _jaccard_grid_kernel(threshold: float):
+    """applyInPandas kernel for one block-pair cell of the exact-jaccard
+    grid: pairwise shingle-set intersection counts via sorted-array
+    lookup (numpy searchsorted + repeat expansion + np.unique pair
+    counting — the no-scipy SpGEMM), then the raw-ratio threshold.
+    All hot loops are C-speed numpy; per-cell work is linear in the
+    cell's shingle-match product rows, never in n_a × n_b."""
+    import numpy as np
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        lmask = pdf["role"].isin(("l", "both"))
+        rmask = pdf["role"].isin(("r", "both"))
+        L, R = pdf[lmask], pdf[rmask]
+        if L.empty or R.empty:
+            return empty
+        ida = L["_id"].to_numpy()
+        idb = R["_id"].to_numpy()
+        sa = L["set_size"].to_numpy().astype(np.int64)
+        sb = R["set_size"].to_numpy().astype(np.int64)
+        la = [np.asarray(x, dtype=np.int64) for x in L["shingles"]]
+        lb = [np.asarray(x, dtype=np.int64) for x in R["shingles"]]
+        lens_a = np.fromiter((len(x) for x in la), np.int64, count=len(la))
+        lens_b = np.fromiter((len(x) for x in lb), np.int64, count=len(lb))
+        flat_a = np.concatenate(la) if la else np.empty(0, np.int64)
+        flat_b = np.concatenate(lb) if lb else np.empty(0, np.int64)
+        adoc = np.repeat(np.arange(len(la), dtype=np.int64), lens_a)
+        bdoc = np.repeat(np.arange(len(lb), dtype=np.int64), lens_b)
+        order = np.argsort(flat_b, kind="stable")
+        bs, bdoc = flat_b[order], bdoc[order]
+        lo = np.searchsorted(bs, flat_a, "left")
+        hi = np.searchsorted(bs, flat_a, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        # expand each A-row to its matching B-row range: concatenated
+        # aranges via the cumsum trick (all C-speed, no Python loop)
+        starts = np.repeat(lo, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        a_idx = np.repeat(adoc, cnt)
+        b_idx = bdoc[starts]
+        n_b = len(lb)
+        uniq, inter = np.unique(a_idx * n_b + b_idx, return_counts=True)
+        ia, ib = uniq // n_b, uniq % n_b
+        # raw-ratio threshold (never on a rounded value): float64
+        # division, bit-identical to the JVM double the old join-based
+        # shape produced
+        jac = inter / (sa[ia] + sb[ib] - inter)
+        keep = jac >= threshold
+        diagonal = bool((pdf["role"] == "both").any())
+        if diagonal:
+            # same block on both sides: every unordered pair appears at
+            # (i,j) AND (j,i) — the strict < mask keeps exactly one
+            keep &= ida[ia] < idb[ib]
+            id_a, id_b = ida[ia[keep]], idb[ib[keep]]
+        else:
+            # disjoint blocks: each unordered pair appears once, but
+            # the smaller id may sit on either side — order by min/max
+            id_a = np.minimum(ida[ia[keep]], idb[ib[keep]])
+            id_b = np.maximum(ida[ia[keep]], idb[ib[keep]])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "jaccard": jac[keep]})
+
+    return compute
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -560,24 +627,43 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    block_size: int = 4096,
 ) -> DataFrame:
-    """Exact jaccard over word-k-shingle SETS via explode + self-join on
-    shingle (shuffle keyed by shingle ⇒ no cross join). Pure Column
-    algebra: the shingling itself is sentence-split/transform JVM code.
+    """Exact jaccard over word-k-shingle SETS via a blocked pairwise
+    intersection grid (the `_dup_pairs_block_matmul` shape): docs are
+    hashed into nb = ceil(n/block_size) blocks, every (bi ≤ bj) block
+    pair becomes ONE applyInPandas cell whose numpy kernel counts
+    shared shingles for all doc pairs of the cell at C speed. Shingling
+    stays sentence-split/transform JVM code; shingle identity is the
+    8-byte xxhash64 of the shingle string (same key as before).
+
+    Why not the explode + shingle-keyed self-join + (id_a, id_b)
+    groupBy (the previous shape): on a templated corpus the join emits
+    Σ_s df(s)² rows and the aggregation materializes every CANDIDATE
+    pair as a hash-table entry — measured 257M join rows → 114M
+    candidate pairs → 2.5k survivors at sf1.0, 430 s, with the time in
+    the pair-keyed exchange + spill. The grid shuffles each doc's
+    shingle array nb times (ids+hashes only, no text) and counts pairs
+    in numpy inside one task per cell — no pair-keyed exchange exists
+    at all. Guide §8's rule: decide with small rows; here the decision
+    (a pair survives the threshold) never leaves the cell.
 
     `max_shingle_df`: drop shingles occurring in more than this many
-    documents before the self-join. A shingle in m docs yields m² join
-    rows, so on webtext a boilerplate shingle ("all rights reserved …")
+    documents before pairing. A shingle in m docs yields m² product
+    rows, so on webtext a boilerplate shingle ("all rights reserved…")
     is a quadratic hot key; capping document frequency bounds each
-    shingle group at max_shingle_df² rows. Intersections then count
+    shingle's product at max_shingle_df². Intersections then count
     only sub-cap shingles while union sizes stay full-set, so reported
     jaccard is a LOWER bound — pairs whose similarity is carried by
     non-boilerplate shingles are unaffected. None (default) = exact;
     at webtext scale prefer a cap (or MinHash-LSH, the designed scale
     path for this family).
     """
+    import math
+
     from pcornet_data_curation_spark.operators.textanalysis import word_kgram_col
 
+    spark = df.sparkSession
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f\\x0B]+", " ")), " ")
     n = F.size(toks)
     # zip_with-based shingling (5× the per-position slice+concat shape;
@@ -585,18 +671,19 @@ def ngram_jaccard_pairs(
     sh = F.when(n >= k, word_kgram_col(toks, n, k)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    # join key = xxhash64(shingle), not the shingle string: the shuffle
-    # rows shrink to (long, long) and the hot-key hash join compares
-    # 8-byte keys (collision odds across a doc pair ~2^-64 · |shingles|²).
-    # set sizes do NOT ride the quadratic join — a tiny (id, set_size)
-    # side is broadcast-joined onto the aggregated pairs afterwards.
-    base = df.where(
+    # pairing identity = xxhash64(shingle), not the shingle string: the
+    # grid ships (long id, long[] hashes) rows — text never shuffles
+    # (collision odds across a doc pair ~2^-64 · |shingles|²).
+    staged = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(F.col(id_col).alias("_id"), F.array_distinct(sh).alias("shingles"))
-    sizes = base.select("_id", F.size("shingles").alias("set_size"))
-    shingled = base.select(
+    ).select(F.col(id_col).alias("_id"), F.array_distinct(sh).alias("_sh"))
+    # _sh staged as an attribute: referenced twice below (hash transform
+    # + size) and non-cheap, so CollapseProject's multi-reference guard
+    # keeps the shingling evaluated once per row
+    base = staged.select(
         "_id",
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
+        F.transform("_sh", lambda s: F.xxhash64(s)).alias("shingles"),
+        F.size("_sh").alias("set_size"),
     )
     if max_shingle_df is not None:
         # document-frequency cap via TWO-PHASE count + anti-join, not a
@@ -606,45 +693,49 @@ def ngram_jaccard_pairs(
         # being dropped. groupBy's partial count absorbs the hot key
         # map-side, and the anti-join's build side holds only the
         # OVER-cap shingles — typically tiny, so AQE picks a broadcast
-        # anti-join (no re-shuffle of the probe side on the skewed
-        # key); if a corpus somehow has GBs of hot shingles AQE falls
-        # back to a sort-merge anti-join with skew splitting instead of
-        # OOMing a forced broadcast.
+        # anti-join; a corpus with GBs of hot shingles falls back to a
+        # sort-merge anti-join with skew splitting instead of OOMing a
+        # forced broadcast. The surviving rows re-collect to per-doc
+        # arrays (doc-keyed groupBy; set_size rejoins from the tiny
+        # ids-only frame and stays the FULL distinct-shingle count).
+        shingled = base.select("_id", "set_size", F.explode("shingles").alias("shingle"))
         hot = (
             shingled.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_shingle_df)
             .select("shingle")
         )
-        shingled = shingled.join(hot, "shingle", "left_anti")
-    l, r = shingled.alias("l"), shingled.alias("r")
-    inter = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")))
-        .groupBy(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
+        # set_size rides the exploded rows as a group key (functionally
+        # dependent on _id), so the full-set union size survives the cap
+        # without a rejoin
+        base = (
+            shingled.join(hot, "shingle", "left_anti")
+            .groupBy("_id", "set_size")
+            .agg(F.collect_list("shingle").alias("shingles"))
         )
-        .agg(F.count(F.lit(1)).alias("inter_n"))
-    )
-    inter = inter.join(
-        F.broadcast(
-            sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a"))
-        ),
-        "id_a",
-    ).join(
-        F.broadcast(
-            sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b"))
-        ),
-        "id_b",
-    )
-    # threshold on the RAW ratio (never on a rounded value — Spark round
-    # is decimal-string HALF_UP, oracle engines round binary, so a
-    # rounded threshold can flip membership at the boundary)
-    jac = F.col("inter_n") / (F.col("size_a") + F.col("size_b") - F.col("inter_n"))
-    return (
-        inter.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # grid sizing only needs an upper bound on the doc count — the raw
+    # table count is parquet-metadata cheap, vs. running the shingling
+    # pipeline once extra for an exact count
+    n_docs = df.count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    nb = max(1, math.ceil(n_docs / block_size))
+    roles = []
+    cell = 0
+    for i in range(nb):
+        for j in range(i, nb):
+            if i == j:
+                roles.append((cell, i, "both"))
+            else:
+                roles.append((cell, i, "l"))
+                roles.append((cell, j, "r"))
+            cell += 1
+    role_df = spark.createDataFrame(roles, "pair_idx int, block int, role string")
+    work = base.withColumn(
+        "block", F.pmod(F.xxhash64("_id"), F.lit(nb)).cast("int")
+    ).join(F.broadcast(role_df), "block")
+    return work.groupBy("pair_idx").applyInPandas(
+        _jaccard_grid_kernel(threshold), "id_a long, id_b long, jaccard double"
     )
 
 
@@ -740,7 +831,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 0,
     seed: int = 42,
-    block_size: int = 512,
+    block_size: int = 2048,
     dim: int | None = None,
     max_exact_rows: int = 1_000_000,
 ) -> DataFrame:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pcornet_data_curation_spark.operators.textanalysis import _MARKERS, _marker_hits
+from pcornet_data_curation_spark.operators.textanalysis import WS, _MARKERS, _marker_hits
 
 LINE_WS = "[ \\t\\r\\f\\x0B]+"
 
@@ -36,12 +36,42 @@ LINE_WS = "[ \\t\\r\\f\\x0B]+"
 def _vote(col: Column) -> Column:
     """Marker-argmax language vote for one text Column ('und' when no
     marker hits; first-wins tie break in _MARKERS order — identical to
-    textanalysis.langid_heuristic's chain)."""
+    textanalysis.langid_heuristic's chain). Single-Column form: the
+    hit counts are inlined per reference (best + each when), so the
+    12-split marker computation re-evaluates several times per value —
+    fine for tests/one-off projections; the hot path (language_mix)
+    stages hits as attributes instead, langid_heuristic's shape."""
     hits = {lang: _marker_hits(col, ws) for lang, ws in _MARKERS.items()}
     best = F.greatest(*hits.values())
     pred = F.when(best <= 0, F.lit("und"))
     for lang, h in hits.items():
         pred = pred.when(h == best, F.lit(lang))
+    return pred
+
+
+def _pad(col: Column) -> Column:
+    """The marker-count padding (textanalysis._marker_hits's inner
+    normalization), staged once so the per-word splits read it as an
+    attribute."""
+    return F.concat(F.lit(" "), F.regexp_replace(F.lower(col), WS, " "), F.lit(" "))
+
+
+def _hits_from_pad(pad: Column, words) -> Column:
+    """_marker_hits's split-count arithmetic over an already-padded
+    attribute (identical values: same splits, same -1 counting)."""
+    total = F.lit(0)
+    for w in words:
+        total = total + F.size(F.split(pad, f" {w} ", -1)) - 1
+    return total
+
+
+def _vote_from_attrs(prefix: str) -> Column:
+    """The _vote when-chain over STAGED per-language hit attributes
+    (cheap re-references; the expensive splits ran exactly once)."""
+    best = F.greatest(*[F.col(prefix + lang) for lang in _MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _MARKERS:
+        pred = pred.when(F.col(prefix + lang) == best, F.lit(lang))
     return pred
 
 
@@ -52,7 +82,14 @@ def language_mix(
     mix_frac): per-line language votes vs the document vote. mix_frac
     = mismatching / scored lines (0.0 when no line is scorable);
     lines are trimmed, empty lines dropped; NULL text → 'und', all
-    zero."""
+    zero.
+
+    Hits are staged as attributes at BOTH granularities (doc pad →
+    4 hit columns → vote; line pad → 4 hit columns → vote): the
+    single-Column _vote inlines the 12-split marker computation into
+    every reference of `best` (≈5×) — measured as the dominant cost of
+    this operator at sf1.0 (31 s); staging makes each split run once
+    per doc + once per line, the langid_heuristic shape."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
         F.transform(
@@ -60,14 +97,37 @@ def language_mix(
         ),
         lambda l: l != "",
     )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        _vote(c).alias("doc_lang"),
-        lines.alias("_lines"),
+    b0 = df.select(
+        F.col(id_col).alias("_id"), lines.alias("_lines"), _pad(c).alias("_pad")
     )
-    ex = base.select(
-        "_id", "doc_lang", F.explode_outer("_lines").alias("_line")
-    ).withColumn("_ll", F.when(F.col("_line").isNotNull(), _vote(F.col("_line"))))
+    b1 = b0.select(
+        "_id",
+        "_lines",
+        *[
+            _hits_from_pad(F.col("_pad"), ws).alias(f"_h_{lang}")
+            for lang, ws in _MARKERS.items()
+        ],
+    )
+    base = b1.select("_id", "_lines", _vote_from_attrs("_h_").alias("doc_lang"))
+    e0 = base.select("_id", "doc_lang", F.explode_outer("_lines").alias("_line"))
+    e1 = e0.select(
+        "_id",
+        "doc_lang",
+        "_line",
+        F.when(F.col("_line").isNotNull(), _pad(F.col("_line"))).alias("_lpad"),
+    )
+    e2 = e1.select(
+        "_id",
+        "doc_lang",
+        "_line",
+        *[
+            _hits_from_pad(F.col("_lpad"), ws).alias(f"_lh_{lang}")
+            for lang, ws in _MARKERS.items()
+        ],
+    )
+    ex = e2.withColumn(
+        "_ll", F.when(F.col("_line").isNotNull(), _vote_from_attrs("_lh_"))
+    )
     out = ex.groupBy("_id", "doc_lang").agg(
         F.count(F.col("_line")).cast("int").alias("lines_n"),
         F.sum((F.col("_ll").isNotNull() & (F.col("_ll") != "und")).cast("int"))

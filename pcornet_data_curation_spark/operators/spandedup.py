@@ -82,16 +82,6 @@ def _dedup_blocks_rows(
     )
 
 
-def _dedup_blocks(base: DataFrame, id_col: str) -> DataFrame:
-    """Array-shaped front of _dedup_blocks_rows: base = (_id, _blocks:
-    array<string>). Fine when _blocks is CHEAP to build (the fixed
-    grid) — the expression is referenced twice (explode + size) and
-    Catalyst inlines it into both."""
-    exploded = base.select("_id", F.posexplode("_blocks").alias("_idx", "_block"))
-    totals = base.select("_id", F.size("_blocks").alias("blocks_n"))
-    return _dedup_blocks_rows(exploded, totals, id_col)
-
-
 def block_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -100,17 +90,40 @@ def block_dedup(
 ) -> DataFrame:
     """(id, text_deduped, blocks_n, removed_blocks_n): the input with
     globally duplicated token blocks removed (first occurrence by
-    (id, block_idx) survives). NULL/empty text → empty string, 0/0."""
+    (id, block_idx) survives). NULL/empty text → empty string, 0/0.
+
+    Plan shape (the CollapseProject/inlining lesson, round 6): the
+    token array is STAGED as an attribute (referenced ≥3 times in the
+    block builder, so the multi-reference guard keeps the regex+split
+    evaluated once per row instead of once per BLOCK inside the slice
+    lambda), the explode is posexplode_OUTER + a post-Generate null
+    filter (a plain posexplode gets a `size(blocks) > 0` filter
+    inferred above the scan — InferFiltersFromGenerate — which inlines
+    the whole O(n_blocks·n_tokens) block expression a second time per
+    row), and the totals branch computes blocks_n ARITHMETICALLY
+    (ceil(n_tokens/b)) instead of materializing the block array again
+    just to take its size. Measured 38.7 s → map-pass-bound at sf1.0."""
     b = block_tokens
     toks, n = _norm_tokens(text_col)
-    n_blocks = F.ceil(n / F.lit(float(b))).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * b + 1, b)),
+    b0 = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n_attr = F.size(F.col("_toks"))
+    n_blocks = F.ceil(n_attr / F.lit(float(b))).cast("int")
+    blocks = F.when(
+        n_attr > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * b + 1, b)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = b0.select("_id", blocks.alias("_blocks"))
+    exploded = base.select(
+        "_id", F.posexplode_outer("_blocks").alias("_idx", "_block")
+    ).where(F.col("_idx").isNotNull())
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.ceil(n / F.lit(float(b))).cast("int").alias("blocks_n"),
     )
-    blocks = F.when(n > 0, blocks).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col).alias("_id"), blocks.alias("_blocks"))
-    return _dedup_blocks(base, id_col)
+    return _dedup_blocks_rows(exploded, totals, id_col)
 
 
 def _md5_token_hash(tok: Column) -> Column:

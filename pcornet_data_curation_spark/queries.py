@@ -52,7 +52,23 @@ WS_SQL = r"[ \t\n\r\f\x0B]+"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table scan with a parallelism FLOOR (guide §2/§6): a parquet
+    file with few (or one) row groups scans as that many tasks no
+    matter what maxPartitionBytes/minPartitionNum say — row groups are
+    the atomic split unit — so every downstream map stage (tokenize,
+    shingle, regex, pandas-UDF) would run on a fraction of the
+    executors. When the scan's split count is below the cluster's
+    defaultParallelism, round-robin repartition once right after the
+    read; the payload is by definition small (few row groups), so the
+    shuffle is trivial, and at real scale (thousands of row groups)
+    the floor is a no-op. This is scale-adaptive, not a local[32]
+    constant: the same rule is what a production cluster wants for a
+    small dimension file feeding a heavy map stage."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------------------
