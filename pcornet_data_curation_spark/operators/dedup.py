@@ -149,7 +149,13 @@ def with_minhash(
     def _sig(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: H.minhash_signature(t, num_perm=num_perm, k=k, seed=seed))
 
-    return df.withColumn("minhash", _sig(F.col(text_col)))
+    # asNondeterministic: minhash_lsh_pairs filters on minhash[0] (the
+    # empty-doc sentinel), and the optimizer duplicates a deterministic
+    # UDF around a pushed-down filter — TWO ArrowEvalPython nodes, the
+    # whole signature pass paid twice (guide §4.4; plan-verified). The
+    # function is in fact deterministic; the flag only forbids Catalyst
+    # from re-evaluating it.
+    return df.withColumn("minhash", _sig.asNondeterministic()(F.col(text_col)))
 
 
 def minhash_lsh_pairs(
@@ -284,7 +290,10 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     def _sim(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: _to_signed(H.simhash64(t)))
 
-    return df.withColumn("simhash", _sim(F.col(text_col)))
+    # asNondeterministic for the same reason as with_minhash: callers
+    # filter on the signature column and the optimizer would otherwise
+    # evaluate the UDF twice around the pushed filter (guide §4.4)
+    return df.withColumn("simhash", _sim.asNondeterministic()(F.col(text_col)))
 
 
 def simhash_pairs(
@@ -428,24 +437,27 @@ def connected_components(
     fixpoint the function RAISES rather than returning silently
     under-merged components.
     """
+    # materialize the PAIRING PIPELINE exactly once: edges, the node
+    # universe, and the initial count all derive from `base` — without
+    # this the uncached MinHash/banding plan re-executed once per
+    # consumer (edges checkpoint + nodes checkpoint = 2 extra full
+    # pairing passes, measured ~6 s of the 14 s dup_cluster_stats at
+    # sf1.0). The labeling stays self-contained for the same reason as
+    # before: both callers release the pairing operator's caches
+    # (unpersist_deps) right after this function returns.
+    base = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        base.where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
     )
     # node universe from the ORIGINAL pairs (self-pairs and isolated
-    # nodes must still get a (node, node) label row). localCheckpointed
-    # so the RETURNED labeling is self-contained: both callers release
-    # the pairing operator's caches (unpersist_deps) right after this
-    # function returns, and a lazy `nodes` would re-execute the whole
-    # uncached MinHash/banding plan on every downstream action.
+    # nodes must still get a (node, node) label row)
     nodes = (
-        pairs.select(F.col(id_a).alias("node"))
-        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
         .where(F.col("node").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
     # localCheckpoint, not cache: it materializes AND truncates the
     # logical plan, so lineage stays O(1) per round instead of nesting
@@ -581,6 +593,24 @@ def _jaccard_grid_kernel(threshold: float):
         flat_b = np.concatenate(lb) if lb else np.empty(0, np.int64)
         adoc = np.repeat(np.arange(len(la), dtype=np.int64), lens_a)
         bdoc = np.repeat(np.arange(len(lb), dtype=np.int64), lens_b)
+        # df-capped mode ships the over-cap hash set as a 'hot' role
+        # row: drop those hashes from both sides before pairing (the
+        # intersection then counts only sub-cap shingles; set_size —
+        # the union term — stays the full distinct-shingle count)
+        hot_rows = pdf[pdf["role"] == "hot"]
+        if not hot_rows.empty:
+            hot = np.unique(
+                np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in hot_rows["shingles"]]
+                )
+                if len(hot_rows)
+                else np.empty(0, np.int64)
+            )
+            if hot.size:
+                keep_a = ~np.isin(flat_a, hot)
+                keep_b = ~np.isin(flat_b, hot)
+                flat_a, adoc = flat_a[keep_a], adoc[keep_a]
+                flat_b, bdoc = flat_b[keep_b], bdoc[keep_b]
         order = np.argsort(flat_b, kind="stable")
         bs, bdoc = flat_b[order], bdoc[order]
         lo = np.searchsorted(bs, flat_a, "left")
@@ -597,7 +627,18 @@ def _jaccard_grid_kernel(threshold: float):
         a_idx = np.repeat(adoc, cnt)
         b_idx = bdoc[starts]
         n_b = len(lb)
-        uniq, inter = np.unique(a_idx * n_b + b_idx, return_counts=True)
+        flat = a_idx * n_b + b_idx
+        grid = len(la) * n_b
+        if grid <= 24_000_000:
+            # linear pair counting: one dense scatter + one flatnonzero
+            # scan — ~5× the sort-based np.unique on this host, and far
+            # less sensitive to shared memory bandwidth (the sort is
+            # n·log n passes over the product array)
+            counts = np.bincount(flat, minlength=grid)
+            uniq = np.flatnonzero(counts)
+            inter = counts[uniq]
+        else:
+            uniq, inter = np.unique(flat, return_counts=True)
         ia, ib = uniq // n_b, uniq % n_b
         # raw-ratio threshold (never on a rounded value): float64
         # division, bit-identical to the JVM double the old join-based
@@ -685,34 +726,6 @@ def ngram_jaccard_pairs(
         F.transform("_sh", lambda s: F.xxhash64(s)).alias("shingles"),
         F.size("_sh").alias("set_size"),
     )
-    if max_shingle_df is not None:
-        # document-frequency cap via TWO-PHASE count + anti-join, not a
-        # Window.partitionBy(shingle): WindowExec has no partial
-        # aggregation, so a boilerplate shingle in 10^9 docs would be
-        # scanned as one 10^9-row sorted partition in ONE task before
-        # being dropped. groupBy's partial count absorbs the hot key
-        # map-side, and the anti-join's build side holds only the
-        # OVER-cap shingles — typically tiny, so AQE picks a broadcast
-        # anti-join; a corpus with GBs of hot shingles falls back to a
-        # sort-merge anti-join with skew splitting instead of OOMing a
-        # forced broadcast. The surviving rows re-collect to per-doc
-        # arrays (doc-keyed groupBy; set_size rejoins from the tiny
-        # ids-only frame and stays the FULL distinct-shingle count).
-        shingled = base.select("_id", "set_size", F.explode("shingles").alias("shingle"))
-        hot = (
-            shingled.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_shingle_df)
-            .select("shingle")
-        )
-        # set_size rides the exploded rows as a group key (functionally
-        # dependent on _id), so the full-set union size survives the cap
-        # without a rejoin
-        base = (
-            shingled.join(hot, "shingle", "left_anti")
-            .groupBy("_id", "set_size")
-            .agg(F.collect_list("shingle").alias("shingles"))
-        )
     # grid sizing only needs an upper bound on the doc count — the raw
     # table count is parquet-metadata cheap, vs. running the shingling
     # pipeline once extra for an exact count
@@ -734,6 +747,42 @@ def ngram_jaccard_pairs(
     work = base.withColumn(
         "block", F.pmod(F.xxhash64("_id"), F.lit(nb)).cast("int")
     ).join(F.broadcast(role_df), "block")
+    if max_shingle_df is not None:
+        # document-frequency cap, computed as ONE extra explode +
+        # groupBy(shingle) whose partial count absorbs a boilerplate
+        # hot key map-side (never a Window.partitionBy(shingle) —
+        # WindowExec has no partial aggregation, so a shingle in 10^9
+        # docs would sort as one task's partition). The over-cap hash
+        # set — tiny by construction: only boilerplate crosses a sane
+        # cap — is collect_list'ed to ONE row and unioned into every
+        # grid cell as a 'hot' role row; the kernel drops hot hashes
+        # from both sides' flattened arrays (np.isin) BEFORE pairing,
+        # so intersections count only sub-cap shingles while set_size
+        # keeps the full-set union. This replaces the previous
+        # anti-join + per-doc re-collect shape, which evaluated the
+        # shingling pipeline a second time and paid two extra keyed
+        # shuffles (measured 12.2 s vs 6 s uncapped at sf1.0).
+        hot_arr = (
+            base.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .agg(F.collect_list("shingle").alias("shingles"))
+        )
+        cells = spark.createDataFrame(
+            [(c,) for c in range(cell)], "pair_idx int"
+        )
+        hot_rows = cells.crossJoin(hot_arr).select(
+            F.lit(None).cast("int").alias("block"),
+            F.lit(None).cast("long").alias("_id"),
+            "shingles",
+            F.lit(0).alias("set_size"),
+            "pair_idx",
+            F.lit("hot").alias("role"),
+        )
+        work = work.select(
+            "block", "_id", "shingles", "set_size", "pair_idx", "role"
+        ).unionByName(hot_rows)
     return work.groupBy("pair_idx").applyInPandas(
         _jaccard_grid_kernel(threshold), "id_a long, id_b long, jaccard double"
     )

@@ -27,31 +27,27 @@ covered positions) for grams occurring more than once. Docs shorter
 than n tokens score 0.0 on rung n; spaces are not counted as
 characters (denominator = sum of token lengths).
 
-Scale shape for 10^12 docs: gram construction is ROW-wise — one token
-posexplode, eight leads over a per-doc window (state bounded by doc
-size), grams built INCREMENTALLY (gram_n = gram_{n-1} + ' ' + next
-token, so the nine rungs cost nine concats per token, not nine
-slice-copies per anchor), one explode to (doc, n, i, gram) rows —
-then ONE groupBy(doc, n, gram) whose map-side partial collapses a
-gram repeated k times within a partition to one row, ONE (doc, n)
-aggregation, one doc-keyed join back for token lengths, and a
-conditional-agg pivot; the coverage expansion and character sums are
-per-(doc, n) array algebra inside projections. No UDF, no self-join.
-An array-HOF formulation (per-anchor F.slice + concat_ws inside
-transform lambdas) was measured 3-5x slower at sf0.01 — the
-spandedup.block_dedup_cdc lesson again: multi-referenced non-trivial
-array lambdas fall off the codegen fast path, row data is computed
-exactly once.
+Scale shape for 10^12 docs: every rung is strictly per-document, so
+the operator is ONE mapInPandas pass over (id, text) — a map-only
+stage with no shuffle, no window state, no generated rows; it
+pipelines into the scan and is streaming-safe. Earlier relational
+formulations were both measured and rejected: the array-HOF shape
+(per-anchor F.slice + concat_ws inside transform lambdas) re-inlines
+per element (3-5x slower at sf0.01, the spandedup.block_dedup_cdc
+lesson), and the row-wise shape (token posexplode → 9-lead window →
+one gram groupBy) shuffles and object-aggregates ~9 gram rows per
+token of purely within-doc state — 22M rows / 1.1 GB of gram strings
+at sf1.0, 22 s, for output that never crosses document boundaries
+(round-6 measurement; the per-doc Python Counter pass is ~40× less
+core-time per doc and removed every exchange).
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-from pcornet_data_curation_spark.operators.textanalysis import WS
 
 TOP_NS = (2, 3, 4)
 DUP_NS = (5, 6, 7, 8, 9, 10)
@@ -66,128 +62,97 @@ def gopher_repetition(
     lowercase: bool = False,
 ) -> DataFrame:
     """(id, top_{n}gram_char_frac... , dup_{n}gram_char_frac...): the
-    Gopher repetition ladder, one row per input document."""
+    Gopher repetition ladder, one row per input document.
+
+    Shape (round 6): ONE mapInPandas pass over (id, text) — every
+    signal in the ladder is strictly per-document, so the former
+    row-relational formulation (token posexplode → 9-lead window →
+    9 gram rows per token → two ObjectHashAggregate levels with
+    collect_list position payloads → two joins back) shuffled and
+    object-aggregated ~9 rows per token of pure within-doc state:
+    22M gram rows / 1.1 GB of gram strings at sf1.0 for output that
+    never crosses document boundaries, 22 s, with zero exchanges
+    actually required by the math. The per-doc Counter/covered-set
+    computation is ~0.3 ms/doc in Python (40× less core-time than the
+    relational plan measured per doc) and the operator becomes a
+    map-only stage that pipelines into the scan at any scale —
+    streaming-safe, no window state, no shuffle at all.
+
+    Semantics are unchanged and oracle-checked: tokens are the
+    case-preserving whitespace-split words; top_frac(n) counts only
+    grams occurring >1 time, ties break to the LARGEST gram string
+    (max by (count, gram) with Python tuple order == Spark struct
+    order == UTF-8 byte order, all code-point orderings); dup_frac(n)
+    counts each covered token position once; docs shorter than n
+    tokens score 0.0 on rung n; denominators are total token chars.
+    lowercase=True lowercases in Python (str.lower — the same mapping
+    hashing.word_shingles applies; the oracled registry entry runs
+    lowercase=False). Tie-break caveat vs textcore's pandas twins
+    (max-by-(count, token-TUPLE)): for tokens containing sub-0x20
+    control characters outside the WS class, joined-string order and
+    tuple order can diverge on exact count ties — this operator and
+    its SQL oracle both use joined-string order."""
     all_ns = sorted(set(top_ns) | set(dup_ns))
     if not all_ns or min(all_ns) < 2:
         raise ValueError("repetition rungs must be n >= 2")
 
-    c = F.coalesce(F.col(text_col), F.lit(""))
-    if lowercase:
-        c = F.lower(c)
-    norm = F.trim(F.regexp_replace(c, WS, " "))
-    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
-    # staged multi-referenced aliases (the CollapseProject guard) so
-    # the tokenize / length-map run once per row
-    b0 = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    base = b0.select(
-        "_id",
-        "_toks",
-        F.transform("_toks", lambda t: F.length(t)).alias("_lens"),
-    ).select(
-        "_id",
-        "_toks",
-        "_lens",
-        F.aggregate("_lens", F.lit(0).cast("long"), lambda a, x: a + x).alias("_total"),
-    )
+    import re
+    from collections import Counter
 
-    from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    ws_re = re.compile("[ \\t\\n\\r\\f\\x0B]+")
     n_max = max(all_ns)
-    w = Window.partitionBy("_id").orderBy("_i")
-    tokens = base.select("_id", F.posexplode("_toks").alias("_i", "_t"))
-    leads = tokens.select(
-        "_id",
-        "_i",
-        "_t",
-        *[F.lead("_t", k).over(w).alias(f"_l{k}") for k in range(1, n_max)],
+    all_set = set(all_ns)
+    top_cols = [f"top_{n}gram_char_frac" for n in top_ns]
+    dup_cols = [f"dup_{n}gram_char_frac" for n in dup_ns]
+    schema = T.StructType(
+        [df.schema[id_col]]
+        + [T.StructField(c, T.DoubleType(), False) for c in top_cols + dup_cols]
     )
-    # incremental rungs: concat propagates the null lead past the doc
-    # end, so gram_n is null exactly when fewer than n tokens remain
-    gram_exprs: dict[int, object] = {}
-    cur = F.col("_t")
-    for k in range(1, n_max):
-        cur = F.concat(cur, F.lit(" "), F.col(f"_l{k}"))
-        if (k + 1) in all_ns:
-            gram_exprs[k + 1] = cur
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("n"), F.col("_i").alias("i"), gram_exprs[n].alias("g")
-            )
-            for n in all_ns
-        ]
-    )
-    g = leads.select(
-        "_id",
-        F.explode(F.filter(arr, lambda x: x["g"].isNotNull())).alias("gr"),
-    ).select(
-        "_id",
-        F.col("gr.n").alias("_n"),
-        F.col("gr.i").alias("_i"),
-        F.col("gr.g").alias("_g"),
-    )
-    counts = g.groupBy("_id", "_n", "_g").agg(
-        F.count(F.lit(1)).alias("_c"), F.collect_list("_i").alias("_pos")
-    )
-    pern = counts.groupBy("_id", "_n").agg(
-        F.max(
-            F.when(
-                F.col("_c") > 1,
-                F.struct(F.col("_c").alias("c"), F.col("_g").alias("g")),
-            )
-        ).alias("_top"),
-        F.flatten(
-            F.collect_list(F.when(F.col("_c") > 1, F.col("_pos")))
-        ).alias("_anchors"),
-    )
-    joined = pern.join(base.select("_id", "_lens", "_total"), "_id")
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.col("_anchors"), lambda a: F.sequence(a, a + F.col("_n") - 1)
-            )
-        )
-    )
-    dup_chars = F.aggregate(
-        covered,
-        F.lit(0).cast("long"),
-        lambda acc, p: acc + F.element_at(F.col("_lens"), p + 1),
-    )
-    top_chars = F.when(F.col("_top").isNull(), F.lit(0).cast("long")).otherwise(
-        (
-            F.col("_top.c")
-            * (F.length(F.col("_top.g")) - (F.col("_n") - 1))
-        ).cast("long")
-    )
-    nz = F.col("_total") > 0
-    fr = joined.select(
-        "_id",
-        "_n",
-        F.when(nz, top_chars.cast("double") / F.col("_total").cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("_topf"),
-        F.when(nz, dup_chars.cast("double") / F.col("_total").cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("_dupf"),
-    )
-    aggs = [
-        F.coalesce(
-            F.max(F.when(F.col("_n") == n, F.col("_topf"))), F.lit(0.0)
-        ).alias(f"top_{n}gram_char_frac")
-        for n in top_ns
-    ] + [
-        F.coalesce(
-            F.max(F.when(F.col("_n") == n, F.col("_dupf"))), F.lit(0.0)
-        ).alias(f"dup_{n}gram_char_frac")
-        for n in dup_ns
-    ]
-    out = fr.groupBy("_id").agg(*aggs)
-    # docs with no gram rows at all (short/empty) come back all-zero
-    ids = df.select(F.col(id_col).alias("_id"))
-    filled = ids.join(out, "_id", "left").na.fill(
-        {f"top_{n}gram_char_frac": 0.0 for n in top_ns}
-        | {f"dup_{n}gram_char_frac": 0.0 for n in dup_ns}
-    )
-    return filled.withColumnRenamed("_id", id_col)
+
+    def compute(batches):
+        for pdf in batches:
+            out = {c: [] for c in top_cols + dup_cols}
+            for t in pdf[text_col]:
+                t = t if isinstance(t, str) else ""
+                if lowercase:
+                    t = t.lower()
+                norm = ws_re.sub(" ", t).strip(" ")
+                toks = norm.split(" ") if norm else []
+                lens = [len(x) for x in toks]
+                total = sum(lens)
+                m = len(toks)
+                fr = {}
+                cur = toks
+                for n in range(2, n_max + 1):
+                    cur = (
+                        [cur[i] + " " + toks[i + n - 1] for i in range(m - n + 1)]
+                        if m >= n
+                        else []
+                    )
+                    if n not in all_set:
+                        continue
+                    topf = dupf = 0.0
+                    if total > 0 and cur:
+                        cnt = Counter(cur)
+                        dup_grams = {g for g, c in cnt.items() if c > 1}
+                        if dup_grams:
+                            tc, tg = max((cnt[g], g) for g in dup_grams)
+                            topf = tc * (len(tg) - (n - 1)) / total
+                            covered = set()
+                            for i, g in enumerate(cur):
+                                if g in dup_grams:
+                                    covered.update(range(i, i + n))
+                            dupf = sum(lens[p] for p in covered) / total
+                    fr[n] = (topf, dupf)
+                for n in top_ns:
+                    out[f"top_{n}gram_char_frac"].append(fr.get(n, (0.0, 0.0))[0])
+                for n in dup_ns:
+                    out[f"dup_{n}gram_char_frac"].append(fr.get(n, (0.0, 0.0))[1])
+            res = pd.DataFrame({id_col: pdf[id_col]})
+            for c in top_cols + dup_cols:
+                res[c] = pd.Series(out[c], dtype="float64", index=pdf.index)
+            yield res
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema)

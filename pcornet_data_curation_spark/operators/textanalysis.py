@@ -396,48 +396,79 @@ def topgram_repetition(
     length) — the in-document repetition signal Gopher thresholds at
     0.20 for 2-grams (Rae et al. 2021, table A1).
 
-    Plan shape: explode k-grams → two map-side-combinable aggregations
-    (groupBy(doc, gram) count, then groupBy(doc) max(struct(cnt,
-    gram))) — both keyed by doc so partitions are bounded by document
-    size; no windows, no self-joins. Ties break to the
-    lexicographically-largest gram so the result is deterministic and
-    the SQL oracle (row_number over cnt desc, gram desc) reproduces it
-    exactly.
+    Shape (round 6): the signal is strictly per-document, so it is ONE
+    mapInPandas pass over (id, text) — no explode, no doc-keyed
+    aggregations, no join back, no shuffle: a map-only stage that
+    pipelines into the scan at any scale (the former explode +
+    two-aggregation + join shape re-evaluated the tokenize/shingle
+    projection twice and shuffled every gram occurrence for purely
+    within-doc state; measured 11 s → ~2 s at sf1.0). Ties break to
+    the lexicographically-largest gram (Python tuple max == Spark
+    max(struct(cnt, gram)) == UTF-8 byte order — all code-point
+    orderings), so the result is deterministic and the SQL oracle
+    (row_number over cnt desc, gram desc) reproduces it exactly.
+    Lowercasing is Spark's F.lower applied in the projection BEFORE
+    the Python pass, so unicode case mapping stays the JVM's — the
+    oracle's lower() twin.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS, " "))
-    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
+    import re
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    ws_re = re.compile(WS)
+    schema = T.StructType(
+        [df.schema[id_col]]
+        + [
+            T.StructField("grams_n", T.LongType(), False),
+            T.StructField("top_gram", T.StringType(), True),
+            T.StructField("top_gram_n", T.LongType(), False),
+            T.StructField("top_gram_char_frac", T.DoubleType(), False),
+        ]
     )
-    n = F.size(toks)
-    grams = F.when(n >= k, word_kgram_col(toks, n, k)).otherwise(
-        F.array().cast("array<string>")
+
+    def compute(batches):
+        for pdf in batches:
+            grams_n, top_gram, top_gram_n, frac = [], [], [], []
+            for t in pdf["_lt"]:
+                t = t if isinstance(t, str) else ""
+                norm = ws_re.sub(" ", t).strip(" ")
+                toks = norm.split(" ") if norm else []
+                m = len(toks)
+                if m >= k:
+                    cur = toks
+                    for n in range(2, k + 1):
+                        cur = [cur[i] + " " + toks[i + n - 1] for i in range(m - n + 1)]
+                    cnt = Counter(cur)
+                    tc, tg = max((c, g) for g, c in cnt.items())
+                    chars = len(norm)
+                    grams_n.append(len(cur))
+                    top_gram.append(tg)
+                    top_gram_n.append(tc)
+                    frac.append(len(tg) * tc / chars if chars > 0 else 0.0)
+                else:
+                    grams_n.append(0)
+                    top_gram.append(None)
+                    top_gram_n.append(0)
+                    frac.append(0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "grams_n": pd.Series(grams_n, dtype="int64", index=pdf.index),
+                    "top_gram": pd.Series(top_gram, dtype="object", index=pdf.index),
+                    "top_gram_n": pd.Series(top_gram_n, dtype="int64", index=pdf.index),
+                    "top_gram_char_frac": pd.Series(
+                        frac, dtype="float64", index=pdf.index
+                    ),
+                }
+            )
+
+    # lowercase in the JVM projection (unicode case mapping parity with
+    # the SQL oracle); the Python side only tokenizes and counts
+    sel = df.select(
+        F.col(id_col), F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lt")
     )
-    base = df.select(
-        F.col(id_col).alias("_id"), grams.alias("grams"), F.length(norm).alias("_chars")
-    )
-    counts = (
-        base.select("_id", F.explode("grams").alias("gram"))
-        .groupBy("_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    top = counts.groupBy("_id").agg(
-        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
-        F.sum("cnt").alias("grams_n"),
-    )
-    out = base.select("_id", "_chars").join(top, "_id", "left")
-    top_gram = F.col("_top.gram")
-    top_n = F.coalesce(F.col("_top.cnt"), F.lit(0)).cast("long")
-    covered = F.length(top_gram).cast("long") * top_n
-    frac = F.when(
-        (F.col("_chars") > 0) & top_gram.isNotNull(), covered / F.col("_chars")
-    ).otherwise(F.lit(0.0))
-    return out.select(
-        F.col("_id").alias(id_col),
-        F.coalesce(F.col("grams_n"), F.lit(0)).cast("long").alias("grams_n"),
-        top_gram.alias("top_gram"),
-        top_n.alias("top_gram_n"),
-        frac.alias("top_gram_char_frac"),
-    )
+    return sel.mapInPandas(compute, schema)
 
 
 def cross_doc_ngram_stats(

@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # preload numpy/pandas/pyarrow in the worker daemon so forked
+        # Python workers inherit them (copy-on-write) instead of each
+        # paying the ~2 s import on its first Arrow task — the measured
+        # dominant cold-run cost of every pandas-UDF/mapInPandas
+        # operator (see worker_daemon.py)
+        .config(
+            "spark.python.daemon.module",
+            "pcornet_data_curation_spark.worker_daemon",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
