@@ -299,11 +299,14 @@ def main(argv: list[str] | None = None) -> int:
                     from pyspark.sql import functions as F
 
                     sigs = _os.path.join(args.against, SIGS_SUBDIR)
-                    bid = (
-                        spark.read.parquet(sigs).agg(F.max("batch")).first()[0] + 1
-                        if _store_exists(spark, sigs)
-                        else 0
-                    )
+                    if _store_exists(spark, sigs):
+                        # max('batch') is NULL on a zero-row store (a
+                        # seed batch of all-empty docs writes an empty
+                        # partition tree) — treat it like a fresh store
+                        mx = spark.read.parquet(sigs).agg(F.max("batch")).first()[0]
+                        bid = 0 if mx is None else mx + 1
+                    else:
+                        bid = 0
                 out = stream_neardup_flag_batch(
                     df, bid, args.against,
                     text_col=args.text_col, id_col=args.id_col,

@@ -163,8 +163,13 @@ def scrub_hit_count_core_sqls(col_sql: str) -> list[tuple[str, str]]:
     out = []
     cur = col_sql
     for p in ordered_patterns(CORE_SCRUB_PATTERNS):
-        out.append((p.rule_id, f"len(regexp_extract_all({cur}, '{p.pattern}'))"))
-        cur = f"regexp_replace({cur}, '{p.pattern}', '{p.replacement}', 'g')"
+        # escape for the single-quoted SQL literal: the current
+        # CORE_SCRUB_PATTERNS carry no quotes, but a future pattern
+        # containing one would silently emit broken oracle SQL
+        pat = p.pattern.replace("'", "''")
+        rep = p.replacement.replace("'", "''")
+        out.append((p.rule_id, f"len(regexp_extract_all({cur}, '{pat}'))"))
+        cur = f"regexp_replace({cur}, '{pat}', '{rep}', 'g')"
     return out
 
 

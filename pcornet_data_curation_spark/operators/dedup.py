@@ -629,7 +629,7 @@ def _jaccard_grid_kernel(threshold: float):
         n_b = len(lb)
         flat = a_idx * n_b + b_idx
         grid = len(la) * n_b
-        if grid <= 24_000_000:
+        if grid <= 40_000_000:
             # linear pair counting: one dense scatter + one flatnonzero
             # scan — ~5× the sort-based np.unique on this host, and far
             # less sensitive to shared memory bandwidth (the sort is
@@ -668,12 +668,12 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
-    block_size: int = 4096,
+    min_block_docs: int = 512,
 ) -> DataFrame:
     """Exact jaccard over word-k-shingle SETS via a blocked pairwise
     intersection grid (the `_dup_pairs_block_matmul` shape): docs are
-    hashed into nb = ceil(n/block_size) blocks, every (bi ≤ bj) block
-    pair becomes ONE applyInPandas cell whose numpy kernel counts
+    hashed into nb blocks (scale-adaptive, see below), every (bi ≤ bj)
+    block pair becomes ONE applyInPandas cell whose numpy kernel counts
     shared shingles for all doc pairs of the cell at C speed. Shingling
     stays sentence-split/transform JVM code; shingle identity is the
     8-byte xxhash64 of the shingle string (same key as before).
@@ -732,7 +732,16 @@ def ngram_jaccard_pairs(
     n_docs = df.count()
     if n_docs == 0:
         return spark.createDataFrame([], "id_a long, id_b long, jaccard double")
-    nb = max(1, math.ceil(n_docs / block_size))
+    # scale-adaptive grid: nb ≈ sqrt(4·parallelism) keeps the cell
+    # count (nb·(nb+1)/2) at ~2 waves of the cluster regardless of n —
+    # a CONSTANT nb would under-parallelize small inputs and explode
+    # the shuffle-duplication factor (each doc ships to nb cells) on
+    # large ones; min_block_docs stops tiny inputs from splintering
+    # into near-empty cells. Measured at sf1.0/local[32]: nb=7..11
+    # within noise of each other, nb=4 (16k-doc blocks) 2.7× slower
+    # (4 giant cells), nb=14 slightly worse (duplication).
+    par = spark.sparkContext.defaultParallelism
+    nb = max(1, min(int(round(math.sqrt(4.0 * par))), math.ceil(n_docs / min_block_docs)))
     roles = []
     cell = 0
     for i in range(nb):
@@ -1017,10 +1026,64 @@ def embedding_dup_pairs_multiseed(
     normed = _normalize_vectors(df, vec_col, id_col).persist()
     if dim is None:
         dim = len(normed.select("v").first()["v"])
-    out = None
-    for seed in seeds:
-        p = _sign_lsh_pairs(normed, dim, n_planes, seed, threshold)
-        out = p if out is None else out.unionByName(p)
-    out = out.dropDuplicates(["id_a", "id_b"])
+    # ALL t seed tables in one plan (round 6): one projection computes
+    # every seed's bucket, one explode to (_id, seed, bucket) rows, ONE
+    # (seed, bucket)-keyed self-join, one distinct, one vector rejoin +
+    # exact-cosine verify — instead of t sequential table plans unioned
+    # (t self-joins + t verify joins + a union-wide distinct; measured
+    # 5.0 s → ~2 s at sf1.0, and 4× fewer stages at any scale). The
+    # pair set is identical: a pair survives iff it shares a bucket in
+    # ANY seed and passes the exact-cosine check, and verification is
+    # order-independent.
+    entries = []
+    for si, seed in enumerate(seeds):
+        planes = H.hyperplane_signs(dim, n_planes, seed)
+        sign_bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0
+            ).cast("int")
+            for p in range(n_planes)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(si).alias("seed"),
+                F.xxhash64(
+                    F.concat_ws("", *[b.cast("string") for b in sign_bits])
+                ).alias("bucket"),
+            )
+        )
+    banded = normed.select("_id", F.explode(F.array(*entries)).alias("sb")).select(
+        "_id", F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.seed") == F.col("r.seed"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(normed.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(normed.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    out = (
+        cand.withColumn("cosine", dot)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
     out._persisted_deps = [normed]  # ONE cache for all t seed tables
     return out
