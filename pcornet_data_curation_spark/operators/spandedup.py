@@ -209,12 +209,24 @@ def block_dedup_cdc(
             " ",
         ).alias("_block")
     )
-    # empty/NULL docs produce no token rows — restore them via the
-    # all-ids frame (blocks_n 0, empty text)
-    totals = (
-        df.select(F.col(id_col).alias("_id"))
-        .join(exploded.groupBy("_id").count(), "_id", "left")
-        .select("_id", F.coalesce(F.col("count"), F.lit(0)).cast("int").alias("blocks_n"))
+    # totals ARITHMETICALLY from a staged token array (round 6): the
+    # former exploded.groupBy(_id).count() re-evaluated the whole
+    # explode + window + collect front a THIRD time (keeper and
+    # survivors already evaluate it twice); blocks_n is just the
+    # boundary-token count — 1 (position 0) + boundary hashes among
+    # tokens 2..n — an O(n) array filter over the staged attribute,
+    # one cheap map pass. Empty/NULL docs give 0 directly.
+    t0 = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    tail_bounds = F.size(
+        F.filter(
+            F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda t: F.pmod(tok_hash(t), F.lit(p)) == 0,
+        )
+    )
+    totals = t0.select(
+        "_id",
+        F.when(n > 0, tail_bounds + 1).otherwise(F.lit(0)).cast("int").alias("blocks_n"),
     )
     return _dedup_blocks_rows(exploded, totals, id_col)
 

@@ -82,6 +82,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SCAN_FLOOR_TABLES = {"documents", "embeddings"}
 
 
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Unfloored scan for the handful of documents/embeddings queries
+    whose per-row work is a single hash / md5 filter — there the floor's
+    round-robin exchange costs more than the parallelism it buys (same
+    A/B verdict as the cheap-agg tables: dedup_exact 0.66 s raw vs
+    1.02 s floored, dedup_against_snapshot 1.0 vs 1.75 at sf1.0)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 # ---------------------------------------------------------------------------
 # documents text stats — shared Column/SQL fragments (kept in lockstep)
 # ---------------------------------------------------------------------------
@@ -1018,11 +1027,13 @@ FROM customer GROUP BY 1
 # --- dedup family -----------------------------------------------------------
 
 
-def _docs_with_dups(spark, sf_dir):
+def _docs_with_dups(spark, sf_dir, raw: bool = False):
     """documents ∪ re-keyed copy of every 10th doc — a deterministic
     duplicate injection so dedup operators have real work (the driver
-    table itself has no duplicate texts)."""
-    docs = _t(spark, sf_dir, "documents")
+    table itself has no duplicate texts). raw=True skips the scan-
+    parallelism floor (see _t_raw) for consumers whose per-row work is
+    a single hash."""
+    docs = (_t_raw if raw else _t)(spark, sf_dir, "documents")
     dups = docs.where(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
@@ -1040,7 +1051,7 @@ _DOCS_WITH_DUPS_SQL = """
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash, deterministic survivor (SURVEY
     driver brief: exact hash-groupBy dedup)."""
-    return exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
+    return exact_dedup(_docs_with_dups(spark, sf_dir, raw=True)).select("doc_id")
 
 
 SQL_DEDUP_EXACT = f"""
@@ -1052,7 +1063,7 @@ SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text
 def q_duplicate_groups(spark, sf_dir):
     """Duplicate-group stats (reference non-unique-key detection,
     data_curation_tables.sas:2659-2726)."""
-    return duplicate_groups(_docs_with_dups(spark, sf_dir)).select("n_docs", "min_id")
+    return duplicate_groups(_docs_with_dups(spark, sf_dir, raw=True)).select("n_docs", "min_id")
 
 
 SQL_DUPLICATE_GROUPS = f"""
@@ -2661,7 +2672,7 @@ def q_domain_temperature_sample(spark, sf_dir):
         domain_temperature_sample,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     dom = (
         F.when(F.col("doc_id") % 5 != 0, F.lit("web"))
         .when(F.col("doc_id") % 10 == 5, F.lit(None).cast("string"))
@@ -2805,7 +2816,7 @@ def q_dedup_against_snapshot(spark, sf_dir):
     engine hash; semantics are text identity)."""
     from pcornet_data_curation_spark.operators.dedup import dedup_against_snapshot
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_raw(spark, sf_dir, "documents").select("doc_id", "text")
     snapshot = docs.where(F.col("doc_id") % 4 == 0)
     batch = docs.unionByName(
         docs.where(F.col("doc_id") % 7 == 0).withColumn(
@@ -4064,7 +4075,7 @@ def q_ivf_topk(spark, sf_dir):
         with_ivf_cell_fold,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_raw(spark, sf_dir, "embeddings")
     cents = ivf_fit(emb, n_centroids=16)
     return ivf_topk(with_ivf_cell_fold(emb, cents), _QUERY_VEC, cents, k=20, n_probe=4)
 
