@@ -565,6 +565,11 @@ def dup_cluster_stats(
 # ---------------------------------------------------------------------------
 
 
+# transient-expansion bound for the jaccard kernel (module-level so a
+# test can shrink it and pin chunked == unchunked output)
+_JACCARD_CHUNK_ROWS = 64_000_000
+
+
 def _jaccard_grid_kernel(threshold: float):
     """applyInPandas kernel for one block-pair cell of the exact-jaccard
     grid: pairwise shingle-set intersection counts via sorted-array
@@ -619,26 +624,61 @@ def _jaccard_grid_kernel(threshold: float):
         total = int(cnt.sum())
         if total == 0:
             return empty
-        # expand each A-row to its matching B-row range: concatenated
-        # aranges via the cumsum trick (all C-speed, no Python loop)
-        starts = np.repeat(lo, cnt) + (
-            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        )
-        a_idx = np.repeat(adoc, cnt)
-        b_idx = bdoc[starts]
         n_b = len(lb)
-        flat = a_idx * n_b + b_idx
         grid = len(la) * n_b
-        if grid <= 40_000_000:
-            # linear pair counting: one dense scatter + one flatnonzero
-            # scan — ~5× the sort-based np.unique on this host, and far
-            # less sensitive to shared memory bandwidth (the sort is
-            # n·log n passes over the product array)
-            counts = np.bincount(flat, minlength=grid)
-            uniq = np.flatnonzero(counts)
-            inter = counts[uniq]
+
+        def count_pairs(sl: slice):
+            # expand each A-row of the slice to its matching B-row
+            # range: concatenated aranges via the cumsum trick (all
+            # C-speed, no Python loop)
+            c = cnt[sl]
+            t = int(c.sum())
+            if t == 0:
+                return None
+            starts = np.repeat(lo[sl], c) + (
+                np.arange(t, dtype=np.int64) - np.repeat(np.cumsum(c) - c, c)
+            )
+            a_idx = np.repeat(adoc[sl], c)
+            flat = a_idx * n_b + bdoc[starts]
+            if grid <= 40_000_000:
+                # linear pair counting: one dense scatter + one
+                # flatnonzero scan — ~5× the sort-based np.unique on
+                # this host, and far less sensitive to shared memory
+                # bandwidth (the sort is n·log n passes)
+                counts = np.bincount(flat, minlength=grid)
+                uq = np.flatnonzero(counts)
+                return uq, counts[uq]
+            return np.unique(flat, return_counts=True)
+
+        # bound the transient expansion arrays: a cell's product-row
+        # count is data-dependent (Σ df² within the cell) and at a
+        # larger-than-bench scale a single expansion could be many GB
+        # per task — process A-side rows in slices of ≤ ~64M product
+        # rows and merge the per-slice sparse counts (pairs repeat
+        # across slices only via different shingles of the same A-row
+        # boundary, so the merge is a weighted re-unique)
+        CHUNK = _JACCARD_CHUNK_ROWS
+        if total <= CHUNK:
+            uniq, inter = count_pairs(slice(0, len(cnt)))
         else:
-            uniq, inter = np.unique(flat, return_counts=True)
+            cuts = [0]
+            acc = 0
+            csum = np.cumsum(cnt)
+            while cuts[-1] < len(cnt):
+                acc = min(acc + CHUNK, int(csum[-1]))
+                nxt = int(np.searchsorted(csum, acc, "left")) + 1
+                cuts.append(max(nxt, cuts[-1] + 1))
+            parts = [
+                p
+                for p in (
+                    count_pairs(slice(a, b)) for a, b in zip(cuts, cuts[1:])
+                )
+                if p is not None
+            ]
+            all_u = np.concatenate([p[0] for p in parts])
+            all_c = np.concatenate([p[1] for p in parts])
+            uniq, inverse = np.unique(all_u, return_inverse=True)
+            inter = np.bincount(inverse, weights=all_c).astype(np.int64)
         ia, ib = uniq // n_b, uniq % n_b
         # raw-ratio threshold (never on a rounded value): float64
         # division, bit-identical to the JVM double the old join-based

@@ -91,6 +91,28 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (4, 5) not in got
 
 
+def test_ngram_jaccard_chunked_kernel_identical(spark):
+    """The grid kernel bounds its transient expansion arrays by
+    processing A-side rows in product-row chunks (memory insurance for
+    larger-than-bench inputs). Forcing a tiny chunk must give the
+    IDENTICAL pair set and bit-identical jaccard values on the sf0.01
+    table — chunk boundaries may split a document's shingle rows, so
+    this pins the weighted re-unique merge."""
+    import pcornet_data_curation_spark.operators.dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    old = D._JACCARD_CHUNK_ROWS
+    D._JACCARD_CHUNK_ROWS = 97  # force many chunks per cell
+    try:
+        chunked = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    finally:
+        D._JACCARD_CHUNK_ROWS = old
+    key = lambda p: sorted(zip(p.id_a, p.id_b, p.jaccard))  # noqa: E731
+    assert key(base) == key(chunked)
+    assert len(base) > 0  # the fixture must actually exercise pairs
+
+
 def test_embedding_dup_exact_vs_lsh(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     exact = embedding_dup_pairs(emb, threshold=0.97).toPandas()
