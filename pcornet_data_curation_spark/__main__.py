@@ -300,11 +300,19 @@ def main(argv: list[str] | None = None) -> int:
 
                     sigs = _os.path.join(args.against, SIGS_SUBDIR)
                     if _store_exists(spark, sigs):
-                        # max('batch') is NULL on a zero-row store (a
-                        # seed batch of all-empty docs writes an empty
-                        # partition tree) — treat it like a fresh store
-                        mx = spark.read.parquet(sigs).agg(F.max("batch")).first()[0]
-                        bid = 0 if mx is None else mx + 1
+                        # an all-empty seed batch commits a store dir
+                        # with no data files (schema inference raises)
+                        # or zero rows (max -> NULL) — both mean the
+                        # same thing: treat it like a fresh store
+                        try:
+                            mx = (
+                                spark.read.parquet(sigs)
+                                .agg(F.max("batch"))
+                                .first()[0]
+                            )
+                            bid = 0 if mx is None else mx + 1
+                        except Exception:
+                            bid = 0
                     else:
                         bid = 0
                 out = stream_neardup_flag_batch(

@@ -769,9 +769,14 @@ def ngram_jaccard_pairs(
     # grid sizing only needs an upper bound on the doc count — the raw
     # table count is parquet-metadata cheap, vs. running the shingling
     # pipeline once extra for an exact count
+    # output ids keep the INPUT id type (string urls are as valid a
+    # doc key as longs — the pre-grid join shape was type-generic and
+    # the grid stays so); xxhash64 blocks hash any atomic type
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_ddl = f"id_a {id_t}, id_b {id_t}, jaccard double"
     n_docs = df.count()
     if n_docs == 0:
-        return spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        return spark.createDataFrame([], out_ddl)
     # scale-adaptive grid: nb ≈ sqrt(4·parallelism) keeps the cell
     # count (nb·(nb+1)/2) at ~2 waves of the cluster regardless of n —
     # a CONSTANT nb would under-parallelize small inputs and explode
@@ -821,9 +826,14 @@ def ngram_jaccard_pairs(
         cells = spark.createDataFrame(
             [(c,) for c in range(cell)], "pair_idx int"
         )
+        # the hot row's _id is never read (the kernel selects rows by
+        # role) — a non-NULL dummy keeps the Arrow→pandas _id column in
+        # its native dtype (a NULL in an int64 column would coerce the
+        # WHOLE column to float64, round-tripping real ids through
+        # floating point)
         hot_rows = cells.crossJoin(hot_arr).select(
             F.lit(None).cast("int").alias("block"),
-            F.lit(None).cast("long").alias("_id"),
+            F.lit(0).cast(id_t).alias("_id"),
             "shingles",
             F.lit(0).alias("set_size"),
             "pair_idx",
@@ -833,7 +843,7 @@ def ngram_jaccard_pairs(
             "block", "_id", "shingles", "set_size", "pair_idx", "role"
         ).unionByName(hot_rows)
     return work.groupBy("pair_idx").applyInPandas(
-        _jaccard_grid_kernel(threshold), "id_a long, id_b long, jaccard double"
+        _jaccard_grid_kernel(threshold), out_ddl
     )
 
 

@@ -28,7 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pcornet_data_curation_spark.operators.textanalysis import WS, _MARKERS, _marker_hits
+# the padding and split-count arithmetic are textanalysis's — ONE
+# source of truth, so language_mix's vote can never drift from
+# langid_heuristic's (the parity both docstrings promise)
+from pcornet_data_curation_spark.operators.textanalysis import (
+    _MARKERS,
+    _marker_hits,
+    _marker_hits_from_pad as _hits_from_pad,
+    _marker_pad as _pad,
+)
 
 LINE_WS = "[ \\t\\r\\f\\x0B]+"
 
@@ -47,22 +55,6 @@ def _vote(col: Column) -> Column:
     for lang, h in hits.items():
         pred = pred.when(h == best, F.lit(lang))
     return pred
-
-
-def _pad(col: Column) -> Column:
-    """The marker-count padding (textanalysis._marker_hits's inner
-    normalization), staged once so the per-word splits read it as an
-    attribute."""
-    return F.concat(F.lit(" "), F.regexp_replace(F.lower(col), WS, " "), F.lit(" "))
-
-
-def _hits_from_pad(pad: Column, words) -> Column:
-    """_marker_hits's split-count arithmetic over an already-padded
-    attribute (identical values: same splits, same -1 counting)."""
-    total = F.lit(0)
-    for w in words:
-        total = total + F.size(F.split(pad, f" {w} ", -1)) - 1
-    return total
 
 
 def _vote_from_attrs(prefix: str) -> Column:

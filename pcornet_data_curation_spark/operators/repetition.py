@@ -49,6 +49,8 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from pcornet_data_curation_spark.operators.textanalysis import WS
+
 TOP_NS = (2, 3, 4)
 DUP_NS = (5, 6, 7, 8, 9, 10)
 
@@ -101,7 +103,7 @@ def gopher_repetition(
 
     from pyspark.sql import types as T
 
-    ws_re = re.compile("[ \\t\\n\\r\\f\\x0B]+")
+    ws_re = re.compile(WS)  # the engine-wide whitespace class
     n_max = max(all_ns)
     all_set = set(all_ns)
     top_cols = [f"top_{n}gram_char_frac" for n in top_ns]

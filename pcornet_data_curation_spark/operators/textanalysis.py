@@ -112,15 +112,29 @@ _MARKERS = {
 }
 
 
+def _marker_pad(col):
+    """The marker-count padding: ' ' + ws-normalized lowercase + ' '.
+    Hot paths stage this as an attribute so the per-word splits read
+    row data instead of re-inlining the regexp per reference
+    (langmix.language_mix; langid_heuristic stages the hit columns)."""
+    return F.concat(F.lit(" "), F.regexp_replace(F.lower(col), WS, " "), F.lit(" "))
+
+
+def _marker_hits_from_pad(pad, words: list[str]):
+    """Split-count arithmetic over an already-padded column/attribute:
+    size(split(pad, ' w ', -1)) - 1 summed over the word list."""
+    total = F.lit(0)
+    for w in words:
+        total = total + F.size(F.split(pad, f" {w} ", -1)) - 1
+    return total
+
+
 def _marker_hits(col, words: list[str]):
     """Occurrences of whole-word markers in the lowercased text —
     counted by padding + split arithmetic (size(split(x, ' w ')) - 1),
-    which has an exact SQL equivalent."""
-    padded = F.concat(F.lit(" "), F.regexp_replace(F.lower(col), WS, " "), F.lit(" "))
-    total = F.lit(0)
-    for w in words:
-        total = total + F.size(F.split(padded, f" {w} ", -1)) - 1
-    return total
+    which has an exact SQL equivalent. Single-Column convenience form
+    of _marker_hits_from_pad(_marker_pad(col), words)."""
+    return _marker_hits_from_pad(_marker_pad(col), words)
 
 
 def langid_heuristic(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

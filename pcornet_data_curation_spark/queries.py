@@ -1074,8 +1074,11 @@ FROM d GROUP BY text HAVING COUNT(*) > 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs via shingle-keyed
-    equi-join (SQL-expressible dedup path)."""
+    """Exact word-3-gram Jaccard near-dup pairs via the blocked
+    pairwise-intersection grid (applyInPandas numpy kernel — round 6;
+    the former shingle-keyed equi-join shape is replayed verbatim by
+    the SQL oracle, which stays join-shaped because value equality is
+    what is checked, not the physical plan)."""
     return ngram_jaccard_pairs(
         _docs_with_dups(spark, sf_dir), k=3, threshold=0.8
     ).select("id_a", "id_b")

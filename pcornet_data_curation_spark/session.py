@@ -43,12 +43,30 @@ def get_spark(
         # Python workers inherit them (copy-on-write) instead of each
         # paying the ~2 s import on its first Arrow task — the measured
         # dominant cold-run cost of every pandas-UDF/mapInPandas
-        # operator (see worker_daemon.py)
+        # operator (see worker_daemon.py). The package root is exported
+        # to the worker env explicitly so the daemon's `python -m`
+        # import works regardless of the driver's cwd/sys.path tricks;
+        # SPARK_GRAFT_WORKER_DAEMON=0 disables the preload (e.g. a
+        # spark-submit deployment whose executors get the package only
+        # via --py-files, which the daemon process does not see).
         .config(
             "spark.python.daemon.module",
             "pcornet_data_curation_spark.worker_daemon",
         )
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
     )
+    if os.environ.get("SPARK_GRAFT_WORKER_DAEMON", "1") == "0":
+        builder = builder.config("spark.python.daemon.module", "pyspark.daemon")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -91,6 +91,23 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (4, 5) not in got
 
 
+def test_ngram_jaccard_string_ids(spark, docs):
+    """The grid keeps the pre-rewrite type-generic id contract: string
+    doc keys (urls) pair and order exactly like longs — the output id
+    type follows the input, diagonal ordering uses the same string
+    comparison as the old join (< on UTF-8 order), and the capped
+    path's hot-row union stays type-consistent."""
+    sdocs = docs.withColumn("doc_id", F.concat(F.lit("url-"), F.col("doc_id")))
+    base = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    got = ngram_jaccard_pairs(sdocs, threshold=0.3).toPandas()
+    assert got.id_a.map(type).eq(str).all()
+    want = sorted((f"url-{a}", f"url-{b}", j) for a, b, j in
+                  zip(base.id_a, base.id_b, base.jaccard))
+    assert sorted(zip(got.id_a, got.id_b, got.jaccard)) == want
+    capped = ngram_jaccard_pairs(sdocs, threshold=0.3, max_shingle_df=1000).toPandas()
+    assert sorted(zip(capped.id_a, capped.id_b, capped.jaccard)) == want
+
+
 def test_ngram_jaccard_chunked_kernel_identical(spark):
     """The grid kernel bounds its transient expansion arrays by
     processing A-side rows in product-row chunks (memory insurance for
