@@ -203,7 +203,9 @@ for _i, _ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
 _PACK_LUT[0xFF] = _SENTINEL  # doc separator: 0xFF never occurs in UTF-8
 
 
-def langid_scores_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
+def langid_scores_batch(
+    texts: list[str], lowered: list[str] | None = None
+) -> tuple[list[str], np.ndarray]:
     """Batch langid, sparse: normalize the WHOLE batch as one byte
     array — per doc " "+lower+" " segments joined by 0xFF (a byte no
     valid UTF-8 string contains), every non-[a-z] byte mapped to the
@@ -226,8 +228,13 @@ def langid_scores_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
     conf_out = np.zeros(n, dtype=np.float64)
     if n == 0:
         return langs_out, conf_out
+    # `lowered` (optional): the already-lowercased texts (str.lower is
+    # what this function would apply), so a batch caller that lowered
+    # the column once for other features doesn't lower every document
+    # a second time here. Identical payload bytes by construction.
+    low_iter = lowered if lowered is not None else (t.lower() if t else "" for t in texts)
     payload = b"\xff".join(
-        b" " + (t.lower().encode("utf-8") if t else b"") + b" " for t in texts
+        b" " + t.encode("utf-8") + b" " for t in low_iter
     )
     sym = _PACK_LUT[np.frombuffer(payload, dtype=np.uint8)]
     # collapse runs of spaces (id 26): keep a space only when the
@@ -345,11 +352,17 @@ _PPL_OOV = float(math.exp(-_PPL_OOV_LOGPROB))
 # ---------------------------------------------------------------------------
 
 
-def dup_line_frac(text: str) -> float:
-    """Fraction of characters inside lines that occur more than once."""
+def dup_line_frac(text: str, lines: list[str] | None = None) -> float:
+    """Fraction of characters inside lines that occur more than once.
+
+    `lines` (optional): the precomputed non-blank line list — exactly
+    `[ln for ln in text.split("\\n") if ln.strip()]` — so a batch
+    caller that already split the text doesn't split it twice. Values
+    are identical by construction."""
     if not text:
         return 0.0
-    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if lines is None:
+        lines = [ln for ln in text.split("\n") if ln.strip()]
     if not lines:
         return 0.0
     seen: dict[str, int] = {}
@@ -365,8 +378,14 @@ def _gram_windows(tokens: list[str], n: int) -> list[tuple[str, ...]]:
     return list(zip(*(tokens[i:] for i in range(n))))
 
 
-def dup_ngram_char_frac(tokens: list[str], n: int) -> float:
-    """Fraction of characters covered by word n-grams that appear >1 time."""
+def dup_ngram_char_frac(
+    tokens: list[str], n: int, total: int | None = None
+) -> float:
+    """Fraction of characters covered by word n-grams that appear >1 time.
+
+    `total` (optional): the precomputed `sum(map(len, tokens))`, so a
+    batch caller that already summed token lengths doesn't sum them
+    again. Identical values by construction."""
     if len(tokens) < n:
         return 0.0
     windows = _gram_windows(tokens, n)
@@ -375,20 +394,27 @@ def dup_ngram_char_frac(tokens: list[str], n: int) -> float:
     for i, g in enumerate(windows):
         if grams[g] > 1:
             covered[i : i + n] = True
-    total = sum(map(len, tokens))
+    if total is None:
+        total = sum(map(len, tokens))
     dup = sum(len(t) for t, c in zip(tokens, covered) if c)
     return dup / total if total else 0.0
 
 
-def top_ngram_char_frac(tokens: list[str], n: int) -> float:
-    """Fraction of characters covered by the single most frequent n-gram."""
+def top_ngram_char_frac(
+    tokens: list[str], n: int, total: int | None = None
+) -> float:
+    """Fraction of characters covered by the single most frequent n-gram.
+
+    `total` (optional): precomputed `sum(map(len, tokens))` (see
+    dup_ngram_char_frac)."""
     if len(tokens) < n:
         return 0.0
     grams = Counter(_gram_windows(tokens, n))
     top = max(grams, key=lambda g: (grams[g], g))
     if grams[top] <= 1:
         return 0.0
-    total = sum(map(len, tokens))
+    if total is None:
+        total = sum(map(len, tokens))
     return grams[top] * sum(map(len, top)) / total if total else 0.0
 
 
@@ -447,50 +473,80 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
         has_bad |= low_all.str.contains(p, regex=False).to_numpy()
 
     text_list = vals.tolist()
-    lang_pred, lang_conf = langid_scores_batch(text_list)
+    lang_pred, lang_conf = langid_scores_batch(text_list, lowered=low_all.tolist())
     ppl = np.fromiter(
         (perplexity(t) for t in text_list), dtype=np.float64, count=len(text_list)
     )
 
+    # Token-level stats run as ONE vectorized pass over the flattened
+    # token stream (pandas .str ops + per-doc bincount) instead of
+    # three per-token Python generator expressions per document —
+    # identical integers: .str.contains on the compiled ALPHA_RE is
+    # re.search, .str.lower().isin(set) is `t.lower() in set`, and the
+    # small-int bincount sums are exact in float64 (< 2^53).
+    n_docs = len(text_list)
+    tokens_list = [tokenize(t) for t in text_list]
+    n_tok_i = np.fromiter((len(ts) for ts in tokens_list), np.int64, count=n_docs)
+    flat = pd.Series(
+        [t for ts in tokens_list for t in ts], dtype="object"
+    )
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok_i)
+    if len(flat):
+        tok_len = flat.str.len().to_numpy(dtype=np.int64)
+        is_alpha = flat.str.contains(ALPHA_RE).to_numpy(dtype=bool)
+        is_stop = flat.str.lower().isin(_STOP_SET).to_numpy(dtype=bool)
+        tok_chars_arr = np.bincount(
+            doc_idx, weights=tok_len, minlength=n_docs
+        ).astype(np.int64)
+        alpha_arr = np.bincount(
+            doc_idx, weights=is_alpha, minlength=n_docs
+        ).astype(np.int64)
+        stop_arr = np.bincount(
+            doc_idx, weights=is_stop, minlength=n_docs
+        ).astype(np.int64)
+    else:
+        tok_chars_arr = np.zeros(n_docs, dtype=np.int64)
+        alpha_arr = np.zeros(n_docs, dtype=np.int64)
+        stop_arr = np.zeros(n_docs, dtype=np.int64)
+
     out: dict[str, list] = {
         name: []
-        for name, _ in STAT_FIELDS
-        if name
-        not in (
-            "n_chars",
-            "n_sentences",
-            "symbol_word_ratio",
-            "has_bad_phrase",
-            "has_curly_brace",
-            "lang_pred",
-            "lang_conf",
-            "ppl",
+        for name in (
+            "n_lines",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "dup_line_frac",
+            "dup_5gram_char_frac",
+            "top_2gram_char_frac",
         )
     }
-    for text in text_list:
-        tokens = tokenize(text)
-        n_tokens = len(tokens)
+    for i, text in enumerate(text_list):
+        tokens = tokens_list[i]
+        tc = int(tok_chars_arr[i])
         lines = [ln for ln in text.split("\n") if ln.strip()]
         stripped = [ln.strip() for ln in lines]
         n_lines = len(lines)
-        tok_chars = sum(map(len, tokens))
-        alpha_words = sum(1 for t in tokens if ALPHA_RE.search(t))
         bullets = sum(1 for ln in stripped if ln.startswith(BULLET_PREFIXES))
         ellipses = sum(1 for ln in stripped if ln.endswith(ELLIPSIS_SUFFIXES))
-        stop_n = sum(1 for t in tokens if t.lower() in _STOP_SET)
-        out["n_tokens"].append(n_tokens)
         out["n_lines"].append(n_lines)
-        out["mean_word_len"].append(tok_chars / n_tokens if n_tokens else 0.0)
-        out["alpha_word_frac"].append(alpha_words / n_tokens if n_tokens else 0.0)
         out["bullet_line_frac"].append(bullets / n_lines if n_lines else 0.0)
         out["ellipsis_line_frac"].append(ellipses / n_lines if n_lines else 0.0)
-        out["stopword_count"].append(stop_n)
-        out["dup_line_frac"].append(dup_line_frac(text))
-        out["dup_5gram_char_frac"].append(dup_ngram_char_frac(tokens, 5))
-        out["top_2gram_char_frac"].append(top_ngram_char_frac(tokens, 2))
+        out["dup_line_frac"].append(dup_line_frac(text, lines=lines))
+        out["dup_5gram_char_frac"].append(dup_ngram_char_frac(tokens, 5, total=tc))
+        out["top_2gram_char_frac"].append(top_ngram_char_frac(tokens, 2, total=tc))
 
-    n_tok_arr = np.asarray(out["n_tokens"], dtype=np.float64)
+    n_tok_arr = n_tok_i.astype(np.float64)
     frame = pd.DataFrame(out, index=vals.index)
+    frame["n_tokens"] = n_tok_i
+    # int64/int64 true division = the same correctly-rounded IEEE
+    # double the former per-doc Python `tok_chars / n_tokens` produced
+    frame["mean_word_len"] = np.where(
+        n_tok_i > 0, tok_chars_arr / np.maximum(n_tok_i, 1), 0.0
+    )
+    frame["alpha_word_frac"] = np.where(
+        n_tok_i > 0, alpha_arr / np.maximum(n_tok_i, 1), 0.0
+    )
+    frame["stopword_count"] = stop_arr
     frame["lang_pred"] = lang_pred
     frame["lang_conf"] = lang_conf
     frame["ppl"] = ppl
