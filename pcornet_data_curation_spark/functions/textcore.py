@@ -321,7 +321,7 @@ _PPL_LOGPROB = _build_bigram_logprobs()
 _PPL_OOV_LOGPROB = float(np.log(1.0 / (len(_PPL_ALPHABET) ** 2)))
 
 
-def perplexity(text: str) -> float:
+def perplexity(text: str, lowered: str | None = None) -> float:
     """Char-bigram perplexity vs the English LM; high = non-English/junk.
 
     Pairs containing out-of-alphabet characters (digits, punctuation,
@@ -329,10 +329,14 @@ def perplexity(text: str) -> float:
     job of the symbol/alpha heuristics; ppl discriminates *language*.
     A doc with fewer than 10 in-alphabet pairs gets the max (OOV)
     perplexity — there is no language signal to score.
+
+    `lowered` (optional): the precomputed ``text.lower()`` so a batch
+    caller that already lowered the column doesn't lower each document
+    again — identical values by construction.
     """
     if not text:
         return float(math.exp(-_PPL_OOV_LOGPROB))
-    s = WS_RE.sub(" ", text.lower())
+    s = WS_RE.sub(" ", lowered if lowered is not None else text.lower())
     idx = _PPL_LUT[np.frombuffer(s.encode("utf-8"), dtype=np.uint8)]
     if len(idx) < 2:
         return float(math.exp(-_PPL_OOV_LOGPROB))
@@ -473,9 +477,12 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
         has_bad |= low_all.str.contains(p, regex=False).to_numpy()
 
     text_list = vals.tolist()
-    lang_pred, lang_conf = langid_scores_batch(text_list, lowered=low_all.tolist())
+    low_list = low_all.tolist()
+    lang_pred, lang_conf = langid_scores_batch(text_list, lowered=low_list)
     ppl = np.fromiter(
-        (perplexity(t) for t in text_list), dtype=np.float64, count=len(text_list)
+        (perplexity(t, lowered=lo) for t, lo in zip(text_list, low_list)),
+        dtype=np.float64,
+        count=len(text_list),
     )
 
     # Token-level stats run as ONE vectorized pass over the flattened
