@@ -485,75 +485,61 @@ def doc_stats_frame(texts: pd.Series) -> pd.DataFrame:
         count=len(text_list),
     )
 
-    # Token-level stats run as ONE vectorized pass over the flattened
-    # token stream (pandas .str ops + per-doc bincount) instead of
-    # three per-token Python generator expressions per document —
-    # identical integers: .str.contains on the compiled ALPHA_RE is
-    # re.search, .str.lower().isin(set) is `t.lower() in set`, and the
-    # small-int bincount sums are exact in float64 (< 2^53).
-    n_docs = len(text_list)
-    tokens_list = [tokenize(t) for t in text_list]
-    n_tok_i = np.fromiter((len(ts) for ts in tokens_list), np.int64, count=n_docs)
-    flat = pd.Series(
-        [t for ts in tokens_list for t in ts], dtype="object"
-    )
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok_i)
-    if len(flat):
-        tok_len = flat.str.len().to_numpy(dtype=np.int64)
-        is_alpha = flat.str.contains(ALPHA_RE).to_numpy(dtype=bool)
-        is_stop = flat.str.lower().isin(_STOP_SET).to_numpy(dtype=bool)
-        tok_chars_arr = np.bincount(
-            doc_idx, weights=tok_len, minlength=n_docs
-        ).astype(np.int64)
-        alpha_arr = np.bincount(
-            doc_idx, weights=is_alpha, minlength=n_docs
-        ).astype(np.int64)
-        stop_arr = np.bincount(
-            doc_idx, weights=is_stop, minlength=n_docs
-        ).astype(np.int64)
-    else:
-        tok_chars_arr = np.zeros(n_docs, dtype=np.int64)
-        alpha_arr = np.zeros(n_docs, dtype=np.int64)
-        stop_arr = np.zeros(n_docs, dtype=np.int64)
-
+    # The loop below is the measured-fastest formulation: a flattened-
+    # token pandas .str pass and a per-doc numpy n-gram rewrite were
+    # both built, verified bit-identical, and REJECTED by interleaved
+    # in-process A/B (0.94× and 0.73× — pandas .str ops on object
+    # dtype are Python-level loops with Series overhead, and per-doc
+    # numpy machinery costs more than Counter on ~100-token docs).
+    # What stays is the real duplicate-work removal: the lowercased
+    # column is computed once and shared (langid, ppl, bad-phrase),
+    # the non-blank line list is split once and shared (bullets/
+    # ellipsis/dup_line_frac), and the token char total is summed once
+    # and shared (mean_word_len, dup/top gram denominators). Measured
+    # 1.21× on the whole core, bit-identical outputs.
     out: dict[str, list] = {
         name: []
-        for name in (
-            "n_lines",
-            "bullet_line_frac",
-            "ellipsis_line_frac",
-            "dup_line_frac",
-            "dup_5gram_char_frac",
-            "top_2gram_char_frac",
+        for name, _ in STAT_FIELDS
+        if name
+        not in (
+            "n_chars",
+            "n_sentences",
+            "symbol_word_ratio",
+            "has_bad_phrase",
+            "has_curly_brace",
+            "lang_pred",
+            "lang_conf",
+            "ppl",
         )
     }
-    for i, text in enumerate(text_list):
-        tokens = tokens_list[i]
-        tc = int(tok_chars_arr[i])
+    for text in text_list:
+        tokens = tokenize(text)
+        n_tokens = len(tokens)
         lines = [ln for ln in text.split("\n") if ln.strip()]
         stripped = [ln.strip() for ln in lines]
         n_lines = len(lines)
+        tok_chars = sum(map(len, tokens))
+        alpha_words = sum(1 for t in tokens if ALPHA_RE.search(t))
         bullets = sum(1 for ln in stripped if ln.startswith(BULLET_PREFIXES))
         ellipses = sum(1 for ln in stripped if ln.endswith(ELLIPSIS_SUFFIXES))
+        stop_n = sum(1 for t in tokens if t.lower() in _STOP_SET)
+        out["n_tokens"].append(n_tokens)
         out["n_lines"].append(n_lines)
+        out["mean_word_len"].append(tok_chars / n_tokens if n_tokens else 0.0)
+        out["alpha_word_frac"].append(alpha_words / n_tokens if n_tokens else 0.0)
         out["bullet_line_frac"].append(bullets / n_lines if n_lines else 0.0)
         out["ellipsis_line_frac"].append(ellipses / n_lines if n_lines else 0.0)
+        out["stopword_count"].append(stop_n)
         out["dup_line_frac"].append(dup_line_frac(text, lines=lines))
-        out["dup_5gram_char_frac"].append(dup_ngram_char_frac(tokens, 5, total=tc))
-        out["top_2gram_char_frac"].append(top_ngram_char_frac(tokens, 2, total=tc))
+        out["dup_5gram_char_frac"].append(
+            dup_ngram_char_frac(tokens, 5, total=tok_chars)
+        )
+        out["top_2gram_char_frac"].append(
+            top_ngram_char_frac(tokens, 2, total=tok_chars)
+        )
 
-    n_tok_arr = n_tok_i.astype(np.float64)
+    n_tok_arr = np.asarray(out["n_tokens"], dtype=np.float64)
     frame = pd.DataFrame(out, index=vals.index)
-    frame["n_tokens"] = n_tok_i
-    # int64/int64 true division = the same correctly-rounded IEEE
-    # double the former per-doc Python `tok_chars / n_tokens` produced
-    frame["mean_word_len"] = np.where(
-        n_tok_i > 0, tok_chars_arr / np.maximum(n_tok_i, 1), 0.0
-    )
-    frame["alpha_word_frac"] = np.where(
-        n_tok_i > 0, alpha_arr / np.maximum(n_tok_i, 1), 0.0
-    )
-    frame["stopword_count"] = stop_arr
     frame["lang_pred"] = lang_pred
     frame["lang_conf"] = lang_conf
     frame["ppl"] = ppl
