@@ -422,6 +422,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_finish_edges: int = 500_000,
 ) -> DataFrame:
     """(node, component) labeling of the undirected near-dup graph —
     component = min node id reachable.
@@ -465,6 +466,50 @@ def connected_components(
     # re-derives the whole loop in any downstream consumer's DAG).
     edges = edges.localCheckpoint()
     n_edges = edges.count()
+    # Bounded local finish: each star alternation costs a fixed 3-5
+    # Spark jobs (checkpoint materialization + convergence counts) —
+    # ~0.3-0.4 s of pure scheduling per round at any data size. Once
+    # the deduped edge list fits the threshold (default 500k pairs =
+    # ~8 MB of ids, the same bounded-driver-materialization discipline
+    # as the IVF fit sample), a driver-side min-root union-find
+    # resolves the remaining labels in ONE collect: component = min
+    # reachable id, exactly the star fixpoint's labeling, and
+    # order-independent (min-root union + full find at the end ⇒ every
+    # node maps to its component minimum regardless of edge order —
+    # pinned by test vs the distributed path). At real scale the loop
+    # runs distributed until the edge list has shrunk below the
+    # threshold; at bench scale it short-circuits immediately
+    # (measured: CC over 820 pairs 1.8 s → ~0.3 s).
+    if n_edges <= local_finish_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges.collect():
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        node_t = pairs.schema[id_a].dataType.simpleString()
+        # pandas → Arrow path: an order of magnitude faster than a
+        # list-of-tuples createDataFrame at the threshold-sized end
+        lab_pdf = pd.DataFrame(
+            {"node": list(parent), "component": [find(x) for x in parent]}
+        )
+        labels = pairs.sparkSession.createDataFrame(
+            lab_pdf, f"node {node_t}, component {node_t}"
+        ).where(F.col("node") != F.col("component"))
+        roots = nodes.join(labels, "node", "left_anti").withColumn(
+            "component", F.col("node")
+        )
+        return labels.unionByName(roots)
     converged = False
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint()

@@ -235,9 +235,39 @@ def test_connected_components_long_chain_logarithmic(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    got = connected_components(pairs, max_iter=20).toPandas()
+    # local_finish_edges=0 forces the distributed star loop — the
+    # O(log n) bound under test (the default threshold would resolve
+    # this chain driver-side and bypass the loop entirely)
+    got = connected_components(pairs, max_iter=20, local_finish_edges=0).toPandas()
     assert len(got) == n + 1
     assert (got["component"] == 0).all()
+
+
+def test_connected_components_local_finish_matches_distributed(spark):
+    """The bounded driver-side union-find finish (default path at
+    bench scale) must label EXACTLY like the distributed large-star/
+    small-star fixpoint — same (node, component) set on a graph mixing
+    chains, stars, merged clusters, isolated self-pairs, and reversed
+    edge orientations."""
+    from pcornet_data_curation_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]          # long chain
+        + [(100, 100 + j) for j in range(1, 9)]      # star
+        + [(205, 204), (203, 204), (201, 202), (202, 203)]  # reversed chain
+        + [(300, 300), (301, 301)]                   # self-pairs
+        + [(40, 100)]                                # merge chain into star
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, local_finish_edges=0).collect()
+    }
+    assert local == dist
 
 
 def test_connected_components_self_pairs_and_empty(spark):
